@@ -1,0 +1,44 @@
+"""Test harness: force a virtual 8-device CPU platform before jax initializes.
+
+Multi-chip sharding logic is exercised on a host-platform mesh
+(``--xla_force_host_platform_device_count=8``) exactly as the driver's
+``dryrun_multichip`` does; no TPU is needed to run the suite.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+from treedetection_tpu.geo import Affine, write_geotiff
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture()
+def sample_transform():
+    # 0.2 m GSD north-up raster, UTM32N-ish coordinates
+    return Affine.from_origin(412000.0, 5318000.0, 0.2, 0.2)
+
+
+@pytest.fixture()
+def tmp_raster(tmp_path, rng, sample_transform):
+    """A small synthetic RGBI GeoTIFF + its nDSM twin."""
+    rgbi = rng.integers(0, 255, (500, 500, 4), dtype=np.uint8)
+    ndsm = (rng.random((500, 500)) * 30).astype(np.float32)
+    rgb_path = tmp_path / "rgb" / "324125317.tif"
+    h_path = tmp_path / "nDSM" / "324125317.tif"
+    rgb_path.parent.mkdir()
+    h_path.parent.mkdir()
+    write_geotiff(str(rgb_path), rgbi, sample_transform, crs=25832)
+    write_geotiff(str(h_path), ndsm, sample_transform, crs=25832, nodata=-9999.0)
+    return {"rgb": str(rgb_path), "ndsm": str(h_path),
+            "transform": sample_transform, "rgbi": rgbi, "ndsm_arr": ndsm}

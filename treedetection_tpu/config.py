@@ -1,0 +1,291 @@
+"""Configuration system: YAML schema, defaults, logging, and device selection.
+
+Behavioral parity with the reference config layer (reference
+``TreeDetection/config.py:144-238``): same YAML keys, same defaults, same
+``(dict, Config)`` return pair, and the same process-global ``Config`` attribute
+bag that all stages read.  Differences (TPU-native):
+
+* ``device`` selects a JAX platform (``tpu``/``cpu``) instead of a CUDA index
+  (reference ``config.py:112-142``), and a ``mesh_shape`` key describes the
+  device mesh used to shard tile batches (no reference counterpart — the
+  reference is single-GPU).
+* the detectron2 model-cfg builder (reference ``config.py:25-66``) is replaced
+  by :func:`model_spec`, a plain dataclass consumed by the Flax Mask R-CNN.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import sys
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import yaml
+
+LOGGER_NAME = "treedetection_tpu"
+
+
+class Config:
+    """Process-global attribute bag shared by every stage.
+
+    Mirrors the reference singleton (reference ``config.py:12-23``): config dict
+    keys become class attributes.  Kept for API parity; new code should prefer
+    passing the config dict explicitly.
+    """
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def _load_into_config(self, config: Dict[str, Any]) -> None:
+        for key, value in config.items():
+            setattr(type(self), key, value)
+
+    @classmethod
+    def reset(cls) -> None:
+        """Drop all loaded attributes (used by tests; no reference counterpart)."""
+        for key in list(vars(cls)):
+            if not key.startswith("_") and key != "reset":
+                try:
+                    delattr(cls, key)
+                except AttributeError:
+                    pass
+        cls._instance = None
+
+
+def load_config(config_path: str) -> Dict[str, Any]:
+    """Load a raw YAML config file into a dict (reference ``config.py:68-79``)."""
+    if not os.path.exists(config_path):
+        raise FileNotFoundError(f"Config file not found: {config_path}")
+    with open(config_path, "r") as fh:
+        config = yaml.safe_load(fh) or {}
+    if not isinstance(config, dict):
+        raise ValueError(f"Config file {config_path} must contain a YAML mapping.")
+    return config
+
+
+def setup_logging(log_dir: str, debug: bool = False) -> logging.Logger:
+    """Timestamped file log + console handler (reference ``config.py:81-110``)."""
+    os.makedirs(log_dir, exist_ok=True)
+    logger = logging.getLogger(LOGGER_NAME)
+    logger.setLevel(logging.DEBUG if debug else logging.INFO)
+    # Reset handlers so repeated get_config calls don't stack duplicates.
+    for handler in list(logger.handlers):
+        logger.removeHandler(handler)
+    timestamp = time.strftime("%Y%m%d-%H%M%S")
+    file_handler = logging.FileHandler(os.path.join(log_dir, f"run_{timestamp}.log"))
+    file_handler.setLevel(logging.DEBUG)
+    console = logging.StreamHandler(sys.stdout)
+    console.setLevel(logging.DEBUG if debug else logging.INFO)
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s")
+    file_handler.setFormatter(fmt)
+    console.setFormatter(fmt)
+    logger.addHandler(file_handler)
+    logger.addHandler(console)
+    logger.propagate = False
+    return logger
+
+
+def set_device_configuration(config: Dict[str, Any], raw_device) -> None:
+    """Normalize the ``device`` key to a JAX platform selection.
+
+    The reference picks a CUDA device index with CPU fallback (reference
+    ``config.py:112-142``).  Here the equivalent decision is TPU vs CPU, and the
+    number of local devices to use; accepted forms:
+
+    * ``None`` / ``"auto"``: use whatever ``jax.devices()`` reports (TPU if live)
+    * ``"cpu"``: force CPU
+    * ``"tpu"`` / ``"tpu:N"``: require TPU, optionally the first N chips
+    """
+    import jax  # local import: keep config importable without jax initialized
+
+    platform = None
+    n_devices: Optional[int] = None
+    if raw_device is None or raw_device == "auto":
+        platform = None
+    elif isinstance(raw_device, int):
+        platform = None
+        n_devices = max(1, raw_device)
+    elif isinstance(raw_device, str):
+        dev = raw_device.strip().lower()
+        if ":" in dev:
+            dev, _, idx = dev.partition(":")
+            n_devices = max(1, int(idx)) if idx.isdigit() else None
+        if dev in ("cpu", "tpu"):
+            platform = dev
+        elif dev.isdigit():
+            n_devices = max(1, int(dev))
+        elif dev.startswith("cuda"):
+            # Reference configs may carry cuda device strings; run on the
+            # available accelerator instead (reference fell back to CPU,
+            # config.py:138-142 — here falling "up" to TPU is the right move).
+            platform = None
+        else:
+            raise ValueError(f"Unrecognized device specification: {raw_device!r}")
+    else:
+        raise ValueError(f"Unrecognized device specification: {raw_device!r}")
+
+    try:
+        devices = jax.devices(platform) if platform else jax.devices()
+    except RuntimeError:
+        devices = jax.devices("cpu")
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    config["device"] = devices[0].platform
+    config["devices"] = devices
+    config["num_devices"] = len(devices)
+
+
+_DEFAULTS: Tuple[Tuple[str, Any], ...] = (
+    # Paths / staging (reference config.py:183-190)
+    ("output_directory", "./output"),
+    ("tiles_path", "./tiles"),
+    # Tiling (reference config.py:193-197)
+    ("tile_width", 50),
+    ("tile_height", 50),
+    ("buffer", 20),
+    ("batch_size", 10),
+    # Overlap machinery (reference config.py:199-205)
+    ("use_overlap", True),
+    ("overlapping_tiles_width", 3),
+    ("overlapping_tiles_height", 3),
+    ("merged_path", "merged"),
+    ("image_merged_regex", "FDOP20_(\\d+)_(\\d+)_(\\d+)_(\\d+)_(\\d+)\\.tif"),
+    ("height_data_merged_regex", "FDOP20_(\\d+)_(\\d+)\\.tif"),
+    # Stitching (reference config.py:209-211)
+    ("iou_threshold", 0.5),
+    ("confidence_threshold_stitching", 0.3),
+    ("area_threshold", 1),
+    # Postprocessing (reference config.py:214-217)
+    ("exclude_files", []),
+    ("confidence_threshold", 0.3),
+    ("containment_threshold", 0.9),
+    ("height_threshold", 3),
+    # Raster scaling factors (reference example/config.yml:36-37; the reference
+    # reads these undefaulted off the singleton — we default them instead of
+    # crashing, keeping the documented example values)
+    ("ndvi_scaling_factor", 0.2),
+    ("height_scaling_factor", 1.0),
+    # Runtime (reference config.py:222-233)
+    ("parallel", True),
+    ("num_workers", None),
+    ("verbose", False),
+    ("debug", False),
+    ("keep_intermediate", False),
+    ("timestamped_output_directory", False),
+    ("simplify_tolerance", 0.2),
+    ("building_shapes", None),
+    # NDVI gates: the reference leaves these with NO default and crashes when
+    # absent (reference postprocessing.py:612, config gotcha noted in SURVEY §5).
+    # We default to the example-config values but warn, preserving behavior for
+    # configs that do set them.
+    ("ndvi_mean_threshold", 0.1),
+    ("ndvi_var_threshold", 0.1),
+    # TPU-native additions (no reference counterpart)
+    ("mesh_shape", None),          # e.g. {"data": 8}; None -> 1D mesh over all devices
+    ("model_input_size", 1024),    # static model input resolution (px)
+    ("max_detections", 100),       # static per-tile detection budget
+    ("mixed_precision", True),     # bfloat16 conv path
+    ("prefetch_batches", 2),       # host->device pipeline depth
+)
+
+
+def get_config(config_path: str) -> Tuple[Dict[str, Any], Config]:
+    """Load + validate + default-fill the YAML config.
+
+    Same contract as the reference (reference ``config.py:144-238``): returns
+    ``(config_dict, Config_singleton)``.  Model validation accepts either a
+    ``combined_model`` or the (urban, forest, outline) triple (reference
+    ``config.py:177-180``); model files here are Orbax/Flax checkpoints or
+    detectron2 ``.pth`` files (converted on load).
+    """
+    config = load_config(config_path)
+
+    base = os.path.dirname(os.path.abspath(config_path))
+
+    def _resolve(p):
+        if p is None:
+            return None
+        return p if os.path.isabs(p) else os.path.normpath(os.path.join(base, p))
+
+    for key in ("image_directory", "height_data_path", "combined_model",
+                "urban_model", "forrest_model", "forrest_outline",
+                "output_directory", "tiles_path", "merged_path", "continue_path"):
+        if config.get(key):
+            config[key] = _resolve(config[key])
+    if config.get("exclude_files"):
+        config["exclude_files"] = [_resolve(p) for p in config["exclude_files"]]
+
+    assert config.get("image_directory") and os.path.exists(config["image_directory"]), (
+        "Input path is missing from the configuration or path is incorrect.")
+    assert config.get("height_data_path") and os.path.exists(config["height_data_path"]), (
+        "nDOM path is missing from the configuration or path is incorrect.")
+
+    if not config.get("combined_model") or not os.path.exists(config["combined_model"]):
+        assert config.get("urban_model") and os.path.exists(config["urban_model"]), (
+            "Urban model path is missing from the configuration or path is incorrect.")
+        assert config.get("forrest_model") and os.path.exists(config["forrest_model"]), (
+            "Forrest model path is missing from the configuration.")
+        assert config.get("forrest_outline") and os.path.exists(config["forrest_outline"]), (
+            "Forrest outline path is missing from the configuration.")
+
+    config["continue"] = config.get(
+        "continue_path", os.path.join(config.get("output_directory", "./output"), "continue.yml"))
+
+    for key, default in _DEFAULTS:
+        config[key] = config.get(key, default)
+
+    os.makedirs(config["output_directory"], exist_ok=True)
+    os.makedirs(config["tiles_path"], exist_ok=True)
+
+    set_device_configuration(config, config.get("device"))
+
+    config["logger"] = setup_logging(
+        os.path.join(config["output_directory"], "logs"), config["debug"])
+
+    config_obj = Config()
+    config_obj._load_into_config(config)
+    return config, config_obj
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Static Mask R-CNN inference spec — the TPU-native stand-in for the
+    detectron2 cfg built at reference ``config.py:25-66``.
+
+    All counts are static so the whole forward compiles to one XLA program.
+    """
+
+    depth: int = 101                  # ResNet depth (50 or 101); ref base model R101-FPN
+    num_classes: int = 1              # reference config.py:35,59
+    score_threshold: float = 0.3      # reference config.py:60
+    nms_threshold: float = 0.5        # reference config.py:61
+    input_size: int = 1024            # static square input (tiles padded/resized)
+    # RPN static budgets (detectron2 test-time defaults)
+    pre_nms_topk: int = 1000          # per FPN level
+    post_nms_topk: int = 1000
+    rpn_nms_threshold: float = 0.7
+    max_detections: int = 100
+    mask_resolution: int = 28
+    anchor_sizes: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    # detectron2 caffe-style preprocessing: BGR order, per-channel mean subtract
+    pixel_mean: Tuple[float, ...] = (103.53, 116.28, 123.675)
+    pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    bf16: bool = True
+
+
+def model_spec(config: Dict[str, Any]) -> ModelSpec:
+    """Build the static model spec from the user config."""
+    return ModelSpec(
+        score_threshold=float(config.get("confidence_threshold_stitching", 0.3)),
+        nms_threshold=0.5,
+        input_size=int(config.get("model_input_size", 1024)),
+        max_detections=int(config.get("max_detections", 100)),
+        bf16=bool(config.get("mixed_precision", True)),
+    )

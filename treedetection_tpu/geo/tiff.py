@@ -1,0 +1,549 @@
+"""First-party GeoTIFF codec (read + write) — no GDAL/rasterio dependency.
+
+Covers everything the reference pipeline reads/writes through rasterio
+(reference ``preprocessing.py:48``, ``prediction.py:61,164``,
+``helpers.py:1023-1085``, ``postprocessing.py:780-800``):
+
+* classic little/big-endian TIFF, striped or tiled layout, chunky planar config
+* compression: none, Deflate (zlib), LZW, PackBits; horizontal + float predictors
+* dtypes: u/int 8/16/32, float32/64
+* GeoTIFF georeferencing: ModelPixelScale + ModelTiepoint (or ModelTransformation)
+  -> :class:`~treedetection_tpu.geo.affine.Affine`; EPSG from GeoKeyDirectory
+* GDAL_NODATA
+* windowed (sub-rectangle) reads that decode only intersecting strips/tiles,
+  with boundless edge padding — the building block of the streaming tile reader
+* writing striped Deflate/raw GeoTIFFs (single IFD, chunky)
+
+A C++ fast path for LZW/PackBits lives in ``treedetection_tpu.native`` and is
+used automatically when built; the pure-Python fallback is always correct.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from treedetection_tpu.geo.affine import Affine
+
+# --- TIFF structure constants --------------------------------------------
+
+_TYPE_FMT = {1: "B", 2: "c", 3: "H", 4: "I", 5: "II", 6: "b", 7: "B",
+             8: "h", 9: "i", 10: "ii", 11: "f", 12: "d", 16: "Q", 17: "q"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+              11: 4, 12: 8, 16: 8, 17: 8}
+
+T_WIDTH, T_HEIGHT = 256, 257
+T_BITS, T_COMPRESSION, T_PHOTOMETRIC = 258, 259, 262
+T_STRIP_OFFSETS, T_SAMPLES, T_ROWS_PER_STRIP, T_STRIP_COUNTS = 273, 277, 278, 279
+T_PLANAR, T_PREDICTOR = 284, 317
+T_TILE_W, T_TILE_H, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
+T_EXTRA_SAMPLES, T_SAMPLE_FORMAT = 338, 339
+T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT, T_MODEL_TRANSFORM = 33550, 33922, 34264
+T_GEO_KEYS, T_GEO_DOUBLES, T_GEO_ASCII = 34735, 34736, 34737
+T_GDAL_METADATA, T_GDAL_NODATA = 42112, 42113
+
+GK_MODEL_TYPE, GK_RASTER_TYPE = 1024, 1025
+GK_GEOGRAPHIC_TYPE, GK_PROJECTED_CS = 2048, 3072
+
+COMP_NONE, COMP_LZW, COMP_DEFLATE_ADOBE, COMP_PACKBITS, COMP_DEFLATE = 1, 5, 8, 32773, 32946
+
+
+def _np_dtype(sample_format: int, bits: int, endian: str) -> np.dtype:
+    kind = {1: "u", 2: "i", 3: "f"}.get(sample_format, "u")
+    if kind == "f" and bits not in (16, 32, 64):
+        raise ValueError(f"Unsupported float width {bits}")
+    return np.dtype(f"{endian}{kind}{bits // 8}")
+
+
+# --- decompressors --------------------------------------------------------
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (MSB-first bit order, early code-size change)."""
+    try:
+        from treedetection_tpu.native import lzw_decode as _native
+        out = _native(data, expected)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
+
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: List[bytes] = []
+
+    def reset_table():
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.append(b"")  # 256 clear
+        table.append(b"")  # 257 eoi
+
+    reset_table()
+    bitpos = 0
+    nbits = 9
+    prev: Optional[bytes] = None
+    total_bits = len(data) * 8
+    while bitpos + nbits <= total_bits:
+        byte_idx = bitpos >> 3
+        chunk = data[byte_idx:byte_idx + 4]
+        val = int.from_bytes(chunk.ljust(4, b"\0"), "big")
+        code = (val >> (32 - nbits - (bitpos & 7))) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == EOI:
+            break
+        if code == CLEAR:
+            reset_table()
+            nbits = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+            out += entry
+        else:
+            if code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("Corrupt LZW stream")
+            out += entry
+        prev = entry
+        # TIFF "early change": the decoder's table lags the encoder by one
+        # pending entry, so the width grows at (1<<n)-2 instead of (1<<n)-1.
+        if len(table) >= (1 << nbits) - 2 and nbits < 12:
+            nbits += 1
+        if len(out) >= expected:
+            break
+    return bytes(out[:expected])
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        header = data[i]
+        i += 1
+        if header < 128:
+            count = header + 1
+            out += data[i:i + count]
+            i += count
+        elif header > 128:
+            count = 257 - header
+            if i < n:
+                out += bytes([data[i]]) * count
+                i += 1
+        # header == 128: no-op
+    return bytes(out[:expected])
+
+
+def _decompress(data: bytes, compression: int, expected: int) -> bytes:
+    if compression == COMP_NONE:
+        return data[:expected]
+    if compression in (COMP_DEFLATE, COMP_DEFLATE_ADOBE):
+        return zlib.decompress(data)[:expected]
+    if compression == COMP_LZW:
+        return _lzw_decode(data, expected)
+    if compression == COMP_PACKBITS:
+        return _packbits_decode(data, expected)
+    raise ValueError(f"Unsupported TIFF compression {compression}")
+
+
+def _undo_predictor(arr: np.ndarray, predictor: int) -> np.ndarray:
+    """arr: (rows, cols, samples) block in native dtype."""
+    if predictor == 2:
+        np.cumsum(arr, axis=1, dtype=arr.dtype, out=arr)
+    elif predictor == 3:
+        # Floating-point predictor: bytes of each row were split by byte plane
+        # then horizontally differenced.
+        rows, cols, samples = arr.shape
+        itemsize = arr.dtype.itemsize
+        raw = arr.view(np.uint8).reshape(rows, cols * samples * itemsize)
+        np.cumsum(raw, axis=1, dtype=np.uint8, out=raw)
+        # de-interleave byte planes back to IEEE big-endian order
+        planes = raw.reshape(rows, itemsize, cols * samples)
+        shuffled = np.transpose(planes, (0, 2, 1)).copy()
+        be = shuffled.reshape(rows, cols, samples, itemsize)[..., ::-1]  # big-endian -> little
+        arr = be.copy().view(arr.dtype.newbyteorder("<")).reshape(rows, cols, samples)
+    return arr
+
+
+# --- reader ---------------------------------------------------------------
+
+class GeoTiff:
+    """A parsed, lazily-decoded GeoTIFF.
+
+    Use :func:`read_geotiff` / ``GeoTiff(path)`` then :meth:`read` for pixel
+    data.  Arrays are returned HWC (height, width, channels) float/int in the
+    file's dtype.
+    """
+
+    def __init__(self, path: Union[str, os.PathLike]):
+        self.path = str(path)
+        self.name = self.path
+        with open(self.path, "rb") as fh:
+            self._data = fh.read()
+        self._parse()
+
+    # -- structure ---------------------------------------------------------
+    def _parse(self) -> None:
+        d = self._data
+        if d[:2] == b"II":
+            self._endian = "<"
+        elif d[:2] == b"MM":
+            self._endian = ">"
+        else:
+            raise ValueError(f"Not a TIFF file: {self.path}")
+        magic, = struct.unpack(self._endian + "H", d[2:4])
+        self._big = magic == 43
+        if self._big:
+            off, = struct.unpack(self._endian + "Q", d[8:16])
+        elif magic == 42:
+            off, = struct.unpack(self._endian + "I", d[4:8])
+        else:
+            raise ValueError(f"Bad TIFF magic {magic} in {self.path}")
+        self.tags = self._parse_ifd(off)
+        t = self.tags
+        self.width = int(t[T_WIDTH][0])
+        self.height = int(t[T_HEIGHT][0])
+        self.count = int(t.get(T_SAMPLES, [1])[0])
+        bits = t.get(T_BITS, [8])
+        if len(set(bits)) != 1:
+            raise ValueError("Mixed bits-per-sample not supported")
+        fmt = t.get(T_SAMPLE_FORMAT, [1])[0]
+        self.dtype = _np_dtype(int(fmt), int(bits[0]), self._endian)
+        self.compression = int(t.get(T_COMPRESSION, [1])[0])
+        self.predictor = int(t.get(T_PREDICTOR, [1])[0])
+        self.planar = int(t.get(T_PLANAR, [1])[0])
+        self.tiled = T_TILE_OFFSETS in t
+        if self.tiled:
+            self.block_w = int(t[T_TILE_W][0])
+            self.block_h = int(t[T_TILE_H][0])
+            self._offsets = list(t[T_TILE_OFFSETS])
+            self._counts = list(t[T_TILE_COUNTS])
+        else:
+            self.block_w = self.width
+            self.block_h = int(t.get(T_ROWS_PER_STRIP, [self.height])[0])
+            self._offsets = list(t[T_STRIP_OFFSETS])
+            self._counts = list(t[T_STRIP_COUNTS])
+        self.nodata = None
+        if T_GDAL_NODATA in t:
+            try:
+                self.nodata = float(bytes(t[T_GDAL_NODATA]).split(b"\0")[0])
+            except (ValueError, TypeError):
+                pass
+        self.transform = self._parse_transform()
+        self.crs = self._parse_crs()
+
+    def _parse_ifd(self, off: int) -> Dict[int, Sequence]:
+        d, e = self._data, self._endian
+        tags: Dict[int, Sequence] = {}
+        if self._big:
+            n, = struct.unpack(e + "Q", d[off:off + 8])
+            entry_off, esize, cnt_fmt = off + 8, 20, "Q"
+        else:
+            n, = struct.unpack(e + "H", d[off:off + 2])
+            entry_off, esize, cnt_fmt = off + 2, 12, "I"
+        for i in range(n):
+            ent = d[entry_off + i * esize: entry_off + (i + 1) * esize]
+            if self._big:
+                tag, typ = struct.unpack(e + "HH", ent[:4])
+                cnt, = struct.unpack(e + "Q", ent[4:12])
+                inline = ent[12:20]
+            else:
+                tag, typ = struct.unpack(e + "HH", ent[:4])
+                cnt, = struct.unpack(e + "I", ent[4:8])
+                inline = ent[8:12]
+            if typ not in _TYPE_SIZE:
+                continue
+            nbytes = _TYPE_SIZE[typ] * cnt
+            if nbytes <= len(inline):
+                payload = inline[:nbytes]
+            else:
+                ptr, = struct.unpack(e + ("Q" if self._big else "I"), inline)
+                payload = d[ptr:ptr + nbytes]
+            if typ == 2:  # ASCII
+                tags[tag] = payload
+            elif typ in (5, 10):  # rationals
+                vals = struct.unpack(e + ("II" if typ == 5 else "ii") * cnt, payload)
+                tags[tag] = [vals[2 * j] / (vals[2 * j + 1] or 1) for j in range(cnt)]
+            else:
+                tags[tag] = list(struct.unpack(e + _TYPE_FMT[typ] * cnt, payload))
+        return tags
+
+    def _parse_transform(self) -> Affine:
+        t = self.tags
+        if T_MODEL_TRANSFORM in t and len(t[T_MODEL_TRANSFORM]) >= 16:
+            m = t[T_MODEL_TRANSFORM]
+            return Affine(m[0], m[1], m[3], m[4], m[5], m[7])
+        if T_MODEL_PIXEL_SCALE in t and T_MODEL_TIEPOINT in t:
+            sx, sy = t[T_MODEL_PIXEL_SCALE][0], t[T_MODEL_PIXEL_SCALE][1]
+            tp = t[T_MODEL_TIEPOINT]
+            # tiepoint: raster (i, j, k) -> model (x, y, z)
+            i, j, x, y = tp[0], tp[1], tp[3], tp[4]
+            west = x - i * sx
+            north = y + j * sy
+            return Affine(sx, 0, west, 0, -sy, north)
+        return Affine.identity()
+
+    def _parse_crs(self) -> Optional[int]:
+        keys = self.tags.get(T_GEO_KEYS)
+        if not keys or len(keys) < 4:
+            return None
+        n = keys[3]
+        epsg = None
+        for k in range(n):
+            key_id, loc, cnt, val = keys[4 + 4 * k: 8 + 4 * k]
+            if key_id == GK_PROJECTED_CS and loc == 0:
+                return int(val)
+            if key_id == GK_GEOGRAPHIC_TYPE and loc == 0:
+                epsg = int(val)
+        return epsg
+
+    # -- pixel access --------------------------------------------------------
+    @property
+    def bounds(self) -> Tuple[float, float, float, float]:
+        return self.transform.bounds(self.width, self.height)
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.height, self.width)
+
+    def _decode_block(self, idx: int, rows: int) -> np.ndarray:
+        """Decode strip/tile ``idx`` -> (rows, block_w, count) native-dtype array."""
+        raw = self._data[self._offsets[idx]: self._offsets[idx] + self._counts[idx]]
+        expected = rows * self.block_w * self.count * self.dtype.itemsize
+        payload = _decompress(raw, self.compression, expected)
+        if len(payload) < expected:
+            payload = payload + b"\0" * (expected - len(payload))
+        arr = np.frombuffer(bytearray(payload), dtype=self.dtype)
+        arr = arr.reshape(rows, self.block_w, self.count)
+        if self.predictor != 1:
+            arr = _undo_predictor(arr, self.predictor)
+        return arr
+
+    def read(self,
+             window: Optional[Tuple[int, int, int, int]] = None,
+             boundless: bool = True,
+             fill_value: Optional[float] = None) -> np.ndarray:
+        """Read pixels as an HWC array.
+
+        ``window`` is ``(col_off, row_off, width, height)`` in pixels and may
+        extend beyond the raster; out-of-raster area is filled with
+        ``fill_value`` (default: the file nodata, else 0) when ``boundless``.
+        Only the strips/tiles intersecting the window are decoded — this is the
+        windowed-read primitive underlying the streaming tiler (replacing
+        reference ``rasterio.mask`` crops at ``prediction.py:164``).
+        """
+        if self.planar != 1:
+            raise ValueError("Planar configuration 2 not supported")
+        if window is None:
+            window = (0, 0, self.width, self.height)
+        col_off, row_off, w, h = (int(v) for v in window)
+        if w <= 0 or h <= 0:
+            return np.zeros((max(h, 0), max(w, 0), self.count), dtype=self.dtype)
+
+        fv = fill_value if fill_value is not None else (self.nodata if self.nodata is not None else 0)
+        out = np.full((h, w, self.count), fv, dtype=self.dtype)
+
+        ic0, ir0 = max(col_off, 0), max(row_off, 0)
+        ic1, ir1 = min(col_off + w, self.width), min(row_off + h, self.height)
+        if ic0 >= ic1 or ir0 >= ir1:
+            if not boundless:
+                raise ValueError("Window does not intersect raster")
+            return out
+
+        if self.tiled:
+            tiles_across = (self.width + self.block_w - 1) // self.block_w
+            ty0, ty1 = ir0 // self.block_h, (ir1 - 1) // self.block_h
+            tx0, tx1 = ic0 // self.block_w, (ic1 - 1) // self.block_w
+            for ty in range(ty0, ty1 + 1):
+                for tx in range(tx0, tx1 + 1):
+                    idx = ty * tiles_across + tx
+                    block = self._decode_block(idx, self.block_h)
+                    by0, bx0 = ty * self.block_h, tx * self.block_w
+                    r0, r1 = max(ir0, by0), min(ir1, by0 + self.block_h)
+                    c0, c1 = max(ic0, bx0), min(ic1, bx0 + self.block_w)
+                    out[r0 - row_off:r1 - row_off, c0 - col_off:c1 - col_off] = \
+                        block[r0 - by0:r1 - by0, c0 - bx0:c1 - bx0]
+        else:
+            s0, s1 = ir0 // self.block_h, (ir1 - 1) // self.block_h
+            for s in range(s0, s1 + 1):
+                sy0 = s * self.block_h
+                rows = min(self.block_h, self.height - sy0)
+                block = self._decode_block(s, rows)
+                r0, r1 = max(ir0, sy0), min(ir1, sy0 + rows)
+                out[r0 - row_off:r1 - row_off, ic0 - col_off:ic1 - col_off] = \
+                    block[r0 - sy0:r1 - sy0, ic0:ic1]
+        return out
+
+    def read_bounds(self, minx: float, miny: float, maxx: float, maxy: float,
+                    **kw) -> Tuple[np.ndarray, Affine]:
+        """Read the pixel window covering geo bounds; returns (HWC array, window transform)."""
+        col_off, row_off, w, h = self.transform.window_for_bounds(minx, miny, maxx, maxy)
+        arr = self.read((col_off, row_off, w, h), **kw)
+        return arr, self.transform.window_transform(col_off, row_off)
+
+    def close(self) -> None:
+        self._data = b""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_geotiff(path: Union[str, os.PathLike]) -> GeoTiff:
+    return GeoTiff(path)
+
+
+# --- writer ---------------------------------------------------------------
+
+def _geokeys_for_epsg(epsg: Optional[int]) -> List[int]:
+    if epsg is None:
+        return []
+    geographic = 4000 <= epsg < 5100 and epsg != 5070  # pragmatic: 4xxx geodetic codes
+    entries = [
+        (GK_MODEL_TYPE, 0, 1, 2 if geographic else 1),
+        (GK_RASTER_TYPE, 0, 1, 1),  # PixelIsArea
+        (GK_GEOGRAPHIC_TYPE if geographic else GK_PROJECTED_CS, 0, 1, epsg),
+    ]
+    out = [1, 1, 0, len(entries)]
+    for e in entries:
+        out.extend(e)
+    return out
+
+
+def write_geotiff(path: Union[str, os.PathLike],
+                  array: np.ndarray,
+                  transform: Affine,
+                  crs: Optional[int] = None,
+                  nodata: Optional[float] = None,
+                  compress: str = "deflate",
+                  rows_per_strip: Optional[int] = None) -> None:
+    """Write an HWC (or HW) numpy array as a striped GeoTIFF.
+
+    Replaces the rasterio write paths of the reference (merged strip TIFFs at
+    ``merging.py:65-67``, NDVI debug rasters at ``helpers.py:898-958``).
+    """
+    if array.ndim == 2:
+        array = array[:, :, None]
+    h, w, c = array.shape
+    arr = np.ascontiguousarray(array)
+    dt = arr.dtype
+    if dt.byteorder == ">":
+        arr = arr.astype(dt.newbyteorder("<"))
+        dt = arr.dtype
+    kind_to_fmt = {"u": 1, "i": 2, "f": 3}
+    sample_format = kind_to_fmt[dt.kind]
+    bits = dt.itemsize * 8
+
+    if rows_per_strip is None:
+        target = 1 << 20
+        rows_per_strip = max(1, min(h, target // max(1, w * c * dt.itemsize)))
+    nstrips = (h + rows_per_strip - 1) // rows_per_strip
+
+    use_deflate = compress in ("deflate", "zlib", True)
+    strips: List[bytes] = []
+    for s in range(nstrips):
+        chunk = arr[s * rows_per_strip:(s + 1) * rows_per_strip].tobytes()
+        strips.append(zlib.compress(chunk, 6) if use_deflate else chunk)
+
+    e = "<"
+    entries: List[Tuple[int, int, int, bytes]] = []  # (tag, type, count, payload)
+
+    def add(tag, typ, values):
+        if typ == 2:
+            payload = values if isinstance(values, bytes) else values.encode()
+            if not payload.endswith(b"\0"):
+                payload += b"\0"
+            entries.append((tag, typ, len(payload), payload))
+        else:
+            seq = values if isinstance(values, (list, tuple)) else [values]
+            payload = struct.pack(e + _TYPE_FMT[typ] * len(seq), *seq)
+            entries.append((tag, typ, len(seq), payload))
+
+    add(T_WIDTH, 4, w)
+    add(T_HEIGHT, 4, h)
+    add(T_BITS, 3, [bits] * c)
+    add(T_COMPRESSION, 3, COMP_DEFLATE_ADOBE if use_deflate else COMP_NONE)
+    add(T_PHOTOMETRIC, 3, 2 if c >= 3 else 1)
+    add(T_SAMPLES, 3, c)
+    add(T_ROWS_PER_STRIP, 4, rows_per_strip)
+    add(T_PLANAR, 3, 1)
+    if c > 3:
+        add(T_EXTRA_SAMPLES, 3, [0] * (c - 3))
+    add(T_SAMPLE_FORMAT, 3, [sample_format] * c)
+    sx, sy = transform.a, -transform.e
+    add(T_MODEL_PIXEL_SCALE, 12, [sx, sy, 0.0])
+    add(T_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, transform.c, transform.f, 0.0])
+    geokeys = _geokeys_for_epsg(crs)
+    if geokeys:
+        add(T_GEO_KEYS, 3, geokeys)
+    if nodata is not None:
+        nd = ("%d" % nodata) if float(nodata).is_integer() else repr(float(nodata))
+        add(T_GDAL_NODATA, 2, nd)
+
+    # Layout: 8-byte header | IFD | external payload area | strip data.
+    # Two passes: first compute the external-area size (payloads > 4 bytes,
+    # including the strip offset/count arrays whose *sizes* are known now),
+    # which pins data_start and therefore the strip offsets; then emit.
+    header_size = 8
+    counts = [len(s) for s in strips]
+    n_entries = len(entries) + 2  # + StripOffsets + StripByteCounts
+    ifd_size = 2 + n_entries * 12 + 4
+    ext_base = header_size + ifd_size
+
+    def _padded(nb: int) -> int:
+        return nb + (nb & 1)
+
+    ext_len = sum(_padded(len(p)) for _, _, _, p in entries if len(p) > 4)
+    arrays_bytes = 4 * nstrips
+    if arrays_bytes > 4:
+        ext_len += 2 * _padded(arrays_bytes)
+    data_start = ext_base + ext_len
+
+    offsets = []
+    pos = data_start
+    for nb in counts:
+        offsets.append(pos)
+        pos += _padded(nb)
+
+    all_entries = entries + [
+        (T_STRIP_OFFSETS, 4, nstrips, struct.pack(e + "I" * nstrips, *offsets)),
+        (T_STRIP_COUNTS, 4, nstrips, struct.pack(e + "I" * nstrips, *counts)),
+    ]
+    all_entries.sort(key=lambda t: t[0])
+
+    ifd = bytearray(struct.pack(e + "H", n_entries))
+    ext = bytearray()
+    for tag, typ, cnt, payload in all_entries:
+        ifd += struct.pack(e + "HHI", tag, typ, cnt)
+        if len(payload) <= 4:
+            ifd += payload.ljust(4, b"\0")
+        else:
+            ifd += struct.pack(e + "I", ext_base + len(ext))
+            ext += payload
+            if len(ext) & 1:
+                ext += b"\0"
+    ifd += struct.pack(e + "I", 0)  # next IFD pointer
+
+    body = bytearray()
+    body += b"II" + struct.pack(e + "H", 42) + struct.pack(e + "I", header_size)
+    body += ifd
+    body += ext
+    assert len(body) == data_start, (len(body), data_start)
+    for s in strips:
+        body += s
+        if len(s) & 1:
+            body += b"\0"
+
+    tmp = str(path) + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(bytes(body))
+    os.replace(tmp, path)
