@@ -6,11 +6,28 @@ Multi-chip sharding logic is exercised on a host-platform mesh
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard overrides: the environment pre-sets JAX_PLATFORMS=axon (live TPU tunnel)
+# and injects /root/.axon_site on PYTHONPATH, which routes ALL XLA compilation
+# (including CPU) through a remote relay that can hang.  Tests must run on the
+# local virtual CPU mesh, so strip the axon hook before jax is imported.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
+sys.path[:] = [p for p in sys.path if "axon_site" not in p]
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if p and "axon_site" not in p)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize hook (if it ran at interpreter startup) sets
+# jax.config jax_platforms="axon,cpu", which OVERRIDES the env var — force it
+# back to cpu so the suite never touches the TPU tunnel.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

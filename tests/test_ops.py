@@ -1,0 +1,196 @@
+"""Op-level tests: box math, NMS vs greedy oracle, ROIAlign vs numpy oracle,
+mask pasting, image transforms."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from treedetection_tpu.ops import (
+    apply_deltas, batched_nms, box_iou_matrix, clip_boxes, ndvi_from_rgbi,
+    nms_mask, normalize_bgr, paste_masks_in_image, resize_bilinear, roi_align,
+    multilevel_roi_align,
+)
+from treedetection_tpu.ops.boxes import encode_deltas, pairwise_intersection_over_area
+
+
+def nms_oracle(boxes, scores, thresh):
+    """Plain-python greedy NMS."""
+    order = np.argsort(-scores)
+    keep = np.zeros(len(boxes), dtype=bool)
+    suppressed = np.zeros(len(boxes), dtype=bool)
+    for i in order:
+        if suppressed[i] or scores[i] == -np.inf:
+            continue
+        keep[i] = True
+        for j in order:
+            if j == i or suppressed[j] or keep[j]:
+                continue
+            # iou
+            x0 = max(boxes[i, 0], boxes[j, 0]); y0 = max(boxes[i, 1], boxes[j, 1])
+            x1 = min(boxes[i, 2], boxes[j, 2]); y1 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(x1 - x0, 0) * max(y1 - y0, 0)
+            a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / (a + b - inter) > thresh:
+                suppressed[j] = True
+    return keep
+
+
+class TestBoxes:
+    def test_iou_matrix(self):
+        a = jnp.array([[0, 0, 10, 10], [5, 5, 15, 15]], dtype=jnp.float32)
+        iou = box_iou_matrix(a, a)
+        assert np.allclose(np.diag(np.asarray(iou)), 1.0)
+        assert abs(float(iou[0, 1]) - 25 / 175) < 1e-6
+
+    def test_deltas_roundtrip(self):
+        rng = np.random.default_rng(0)
+        src = rng.uniform(0, 100, (20, 2))
+        src = np.concatenate([src, src + rng.uniform(5, 50, (20, 2))], axis=1)
+        tgt = rng.uniform(0, 100, (20, 2))
+        tgt = np.concatenate([tgt, tgt + rng.uniform(5, 50, (20, 2))], axis=1)
+        w = (10.0, 10.0, 5.0, 5.0)
+        d = encode_deltas(jnp.asarray(src), jnp.asarray(tgt), w)
+        back = apply_deltas(d, jnp.asarray(src), w)
+        assert np.allclose(np.asarray(back), tgt, atol=1e-3)
+
+    def test_clip(self):
+        b = jnp.array([[-5, -5, 2000, 900]], dtype=jnp.float32)
+        out = clip_boxes(b, 1024, 1024)
+        assert np.allclose(np.asarray(out), [[0, 0, 1024, 900]])
+
+    def test_containment_ratio(self):
+        a = jnp.array([[0, 0, 10, 10]], dtype=jnp.float32)   # small
+        b = jnp.array([[0, 0, 100, 100]], dtype=jnp.float32)  # big
+        r = pairwise_intersection_over_area(a, b)
+        assert float(r[0, 0]) == 1.0  # a fully inside b
+
+
+class TestNMS:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_matches_greedy_oracle(self, seed):
+        rng = np.random.default_rng(seed)
+        n = 200
+        centers = rng.uniform(20, 200, (n, 2))
+        sizes = rng.uniform(5, 40, (n, 2))
+        boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2],
+                               axis=1).astype(np.float32)
+        scores = rng.random(n).astype(np.float32)
+        keep = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+        expected = nms_oracle(boxes, scores, 0.5)
+        assert np.array_equal(keep, expected)
+
+    def test_padded_entries_never_kept(self):
+        boxes = jnp.array([[0, 0, 10, 10], [100, 100, 110, 110]], dtype=jnp.float32)
+        scores = jnp.array([0.9, -jnp.inf])
+        keep = nms_mask(boxes, scores, 0.5)
+        assert np.asarray(keep).tolist() == [True, False]
+
+    def test_batched_nms_classes_dont_suppress(self):
+        boxes = jnp.array([[0, 0, 10, 10], [0, 0, 10, 10]], dtype=jnp.float32)
+        scores = jnp.array([0.9, 0.8])
+        same = nms_mask(boxes, scores, 0.5)
+        assert np.asarray(same).tolist() == [True, False]
+        cross = batched_nms(boxes, scores, jnp.array([0, 1]), 0.5)
+        assert np.asarray(cross).tolist() == [True, True]
+
+
+def roi_align_oracle(fmap, box, resolution, scale, sr):
+    """Direct numpy implementation of aligned ROIAlign for one box."""
+    h, w, c = fmap.shape
+    x0 = box[0] * scale - 0.5
+    y0 = box[1] * scale - 0.5
+    bw = (box[2] - box[0]) * scale / resolution
+    bh = (box[3] - box[1]) * scale / resolution
+    out = np.zeros((resolution, resolution, c))
+    for i in range(resolution):
+        for j in range(resolution):
+            acc = np.zeros(c)
+            for ky in range(sr):
+                for kx in range(sr):
+                    y = y0 + (i + (ky + 0.5) / sr) * bh
+                    x = x0 + (j + (kx + 0.5) / sr) * bw
+                    if y < -1 or y > h or x < -1 or x > w:
+                        continue
+                    y_ = min(max(y, 0), h - 1)
+                    x_ = min(max(x, 0), w - 1)
+                    iy, ix = int(np.floor(y_)), int(np.floor(x_))
+                    iy1, ix1 = min(iy + 1, h - 1), min(ix + 1, w - 1)
+                    ly, lx = y_ - iy, x_ - ix
+                    acc += (fmap[iy, ix] * (1 - ly) * (1 - lx)
+                            + fmap[iy, ix1] * (1 - ly) * lx
+                            + fmap[iy1, ix] * ly * (1 - lx)
+                            + fmap[iy1, ix1] * ly * lx)
+            out[i, j] = acc / (sr * sr)
+    return out
+
+
+class TestROIAlign:
+    def test_constant_map(self):
+        fmap = jnp.full((32, 32, 8), 3.5)
+        boxes = jnp.array([[8, 8, 24, 24]], dtype=jnp.float32)
+        out = roi_align(fmap, boxes, 7, 1.0)
+        assert np.allclose(np.asarray(out), 3.5, atol=1e-5)
+
+    def test_matches_oracle(self):
+        rng = np.random.default_rng(1)
+        fmap = rng.standard_normal((16, 16, 4)).astype(np.float32)
+        box = np.array([4.3, 2.1, 50.9, 40.7], dtype=np.float32)
+        got = np.asarray(roi_align(jnp.asarray(fmap), jnp.asarray(box[None]),
+                                   7, 0.25, sampling_ratio=2))[0]
+        want = roi_align_oracle(fmap, box, 7, 0.25, 2)
+        assert np.allclose(got, want, atol=1e-4)
+
+    def test_multilevel_routes_by_size(self):
+        # small box -> P2; huge box -> P5
+        fmaps = [jnp.full((256 // (2 ** i), 256 // (2 ** i), 2), float(i))
+                 for i in range(4)]
+        boxes = jnp.array([[10, 10, 40, 40],          # ~30px -> level 2 (idx 0)
+                           [0, 0, 1000, 1000]],       # 1000px -> level 5 (idx 3)
+                          dtype=jnp.float32)
+        out = np.asarray(multilevel_roi_align(fmaps, boxes, 7, (4, 8, 16, 32)))
+        assert np.allclose(out[0], 0.0, atol=1e-5)
+        assert np.allclose(out[1], 3.0, atol=1e-5)
+
+
+class TestMasks:
+    def test_paste_full_box(self):
+        masks = jnp.ones((1, 28, 28))
+        boxes = jnp.array([[10, 20, 40, 50]], dtype=jnp.float32)
+        out = np.asarray(paste_masks_in_image(masks, boxes, 64, 64))
+        ys, xs = np.where(out[0])
+        assert xs.min() >= 10 and xs.max() <= 40
+        assert ys.min() >= 20 and ys.max() <= 50
+        assert out[0].sum() >= 28 * 28  # ~30x30 box fully on
+
+    def test_paste_half_mask(self):
+        m = np.zeros((28, 28), dtype=np.float32)
+        m[:, 14:] = 1.0  # right half
+        out = np.asarray(paste_masks_in_image(
+            jnp.asarray(m[None]), jnp.array([[0, 0, 28, 28]], dtype=jnp.float32),
+            28, 28))
+        frac = out[0][:, 16:].mean()
+        assert frac > 0.95
+        assert out[0][:, :12].mean() < 0.05
+
+
+class TestImageOps:
+    def test_ndvi(self):
+        rgbi = jnp.zeros((4, 4, 4)).at[..., 0].set(50).at[..., 3].set(150)
+        ndvi = np.asarray(ndvi_from_rgbi(rgbi))
+        assert np.allclose(ndvi, (150 - 50) / (150 + 50), atol=1e-4)
+
+    def test_normalize_bgr_order(self):
+        rgb = jnp.zeros((2, 2, 3)).at[..., 0].set(255.0)  # pure red
+        out = np.asarray(normalize_bgr(rgb))
+        # BGR: channel 2 should now carry the red signal
+        assert out[0, 0, 2] == pytest.approx(255.0 - 123.675)
+        assert out[0, 0, 0] == pytest.approx(-103.53)
+
+    def test_resize(self):
+        img = jnp.arange(16.0).reshape(4, 4, 1)
+        up = resize_bilinear(img, 8, 8)
+        assert up.shape == (8, 8, 1)
+        assert abs(float(up.mean()) - float(img.mean())) < 0.3

@@ -1,0 +1,124 @@
+"""The full Flax Mask R-CNN: one static XLA program per tile batch.
+
+TPU-native counterpart of the reference's detectron2 model + DefaultPredictor
+(reference ``config.py:25-66``, ``prediction.py:18-195``): input is an
+already-normalized NHWC batch, output is a fixed-budget set of detections with
+28x28 soft masks per image.  The entire forward — backbone, FPN, RPN,
+proposal NMS, ROIAlign, heads, detection NMS, mask head — traces once and
+compiles to a single program; there is no per-image Python.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from treedetection_tpu.models.anchors import pyramid_anchors
+from treedetection_tpu.models.resnet import ResNetFPN
+from treedetection_tpu.models.rpn import RPNHead, generate_proposals
+from treedetection_tpu.models.roi_heads import (
+    BoxHead, Detections, MaskHead, box_inference)
+from treedetection_tpu.ops.roi_align import multilevel_roi_align
+
+FPN_STRIDES = (4, 8, 16, 32, 64)
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskRCNNConfig:
+    depth: int = 101
+    num_classes: int = 1            # reference config.py:35,59
+    input_size: int = 1024
+    score_threshold: float = 0.3    # reference config.py:60
+    nms_threshold: float = 0.5      # reference config.py:61
+    rpn_pre_nms_topk: int = 1000
+    rpn_post_nms_topk: int = 1000
+    rpn_nms_threshold: float = 0.7
+    max_detections: int = 100
+    mask_pool: int = 14
+    box_pool: int = 7
+    bf16: bool = True
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.bf16 else jnp.float32
+
+
+class ModelOutput(NamedTuple):
+    boxes: jnp.ndarray      # (B, D, 4) in input-pixel coords
+    scores: jnp.ndarray     # (B, D)
+    classes: jnp.ndarray    # (B, D)
+    valid: jnp.ndarray      # (B, D) bool
+    masks: jnp.ndarray      # (B, D, 28, 28) sigmoid probabilities
+
+
+class MaskRCNN(nn.Module):
+    """Batched inference Mask R-CNN.  Call with a normalized (B, S, S, 3)
+    float batch; ``S == cfg.input_size``."""
+    cfg: MaskRCNNConfig = MaskRCNNConfig()
+
+    def setup(self):
+        c = self.cfg
+        self.backbone = ResNetFPN(depth=c.depth, dtype=c.dtype, name="backbone")
+        self.rpn_head = RPNHead(num_anchors=3, dtype=c.dtype, name="rpn_head")
+        self.box_head = BoxHead(num_classes=c.num_classes, dtype=c.dtype,
+                                name="box_head")
+        self.mask_head = MaskHead(num_classes=c.num_classes, dtype=c.dtype,
+                                  name="mask_head")
+        self._anchors = [jnp.asarray(a) for a in
+                         pyramid_anchors(c.input_size, FPN_STRIDES)]
+
+    def __call__(self, images: jnp.ndarray) -> ModelOutput:
+        c = self.cfg
+        feats = self.backbone(images.astype(c.dtype))       # [P2..P6] NHWC
+        logits, deltas = self.rpn_head(feats)
+
+        def per_image(args):
+            f_img, lg_img, dl_img = args
+            props = generate_proposals(
+                lg_img, dl_img, self._anchors, c.input_size,
+                c.rpn_pre_nms_topk, c.rpn_post_nms_topk, c.rpn_nms_threshold)
+            pooled = multilevel_roi_align(
+                [f.astype(jnp.float32) for f in f_img[:4]], props.boxes,
+                c.box_pool, FPN_STRIDES[:4])
+            cls_logits, box_deltas = self.box_head(pooled.astype(c.dtype))
+            det = box_inference(
+                cls_logits, box_deltas, props.boxes, props.scores,
+                c.input_size, c.score_threshold, c.nms_threshold,
+                c.max_detections)
+            mask_pooled = multilevel_roi_align(
+                [f.astype(jnp.float32) for f in f_img[:4]], det.boxes,
+                c.mask_pool, FPN_STRIDES[:4])
+            mask_logits = self.mask_head(mask_pooled.astype(c.dtype))
+            masks = jax.nn.sigmoid(mask_logits[..., 0])     # (D, 28, 28)
+            return det, masks
+
+        # vmap over the batch: per-level features/outputs become leading-batch
+        # pytrees automatically.
+        det, masks = jax.vmap(
+            lambda f, l, d: per_image((f, l, d)),
+            in_axes=(0, 0, 0))(feats, logits, deltas)
+        return ModelOutput(boxes=det.boxes, scores=det.scores,
+                           classes=det.classes, valid=det.valid, masks=masks)
+
+
+def create_model(cfg: Optional[MaskRCNNConfig] = None,
+                 rng: Optional[jax.Array] = None,
+                 batch_size: int = 1) -> Tuple[MaskRCNN, Dict]:
+    """Initialize model + params (random init; use ``models.convert`` to load
+    detectron2 checkpoints)."""
+    cfg = cfg or MaskRCNNConfig()
+    model = MaskRCNN(cfg)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    # Param shapes are independent of the spatial input size (convs + FCs over
+    # pooled features), so initialize at a small resolution to keep init cheap
+    # and reuse the params at the real one.
+    init_cfg = dataclasses.replace(cfg, input_size=128)
+    init_model = MaskRCNN(init_cfg)
+    dummy = jnp.zeros((1, 128, 128, 3), dtype=jnp.float32)
+    params = init_model.init(rng, dummy)
+    return model, params

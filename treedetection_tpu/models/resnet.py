@@ -1,0 +1,142 @@
+"""ResNet-50/101 + FPN backbone in Flax (NHWC, frozen BN, bf16-ready).
+
+Architecture matches the detectron2 ``mask_rcnn_R_*_FPN_3x`` backbone the
+reference builds (reference ``config.py:25``): caffe-style bottlenecks with
+the stride on the first 1x1 conv, frozen batch-norm folded into per-channel
+scale/bias, FPN with 256 channels and a max-pool P6.
+
+TPU notes: NHWC keeps the channel dim on the 128-lane axis; convs run in
+bfloat16 when ``dtype=jnp.bfloat16`` (params stay fp32) which is the MXU
+sweet spot; all shapes are static.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+
+
+class FrozenBN(nn.Module):
+    """Inference-mode batch norm folded to ``y = x * scale + bias``.
+
+    detectron2 freezes all backbone BN (FrozenBatchNorm2d); the converter
+    folds (gamma, beta, mean, var) into these two vectors.
+    """
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x * scale.astype(self.dtype) + bias.astype(self.dtype)
+
+
+class ConvBN(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Any = jnp.float32
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=[(pad, pad), (pad, pad)], use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = FrozenBN(self.features, dtype=self.dtype, name="norm")(x)
+        return nn.relu(x) if self.relu else x
+
+
+class Bottleneck(nn.Module):
+    """Caffe-style bottleneck: stride lives on the first 1x1 conv
+    (detectron2 ``stride_in_1x1=True`` for MSRA-origin checkpoints)."""
+    width: int
+    out_features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        if x.shape[-1] != self.out_features or self.stride != 1:
+            shortcut = ConvBN(self.out_features, kernel=1, stride=self.stride,
+                              dtype=self.dtype, relu=False, name="shortcut")(x)
+        y = ConvBN(self.width, kernel=1, stride=self.stride,
+                   dtype=self.dtype, name="conv1")(x)
+        y = ConvBN(self.width, kernel=3, stride=1, dtype=self.dtype, name="conv2")(y)
+        y = ConvBN(self.out_features, kernel=1, stride=1, dtype=self.dtype,
+                   relu=False, name="conv3")(y)
+        return nn.relu(y + shortcut)
+
+
+class ResNet(nn.Module):
+    depth: int = 101
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        """-> [C2, C3, C4, C5] feature maps (strides 4, 8, 16, 32)."""
+        blocks = STAGE_BLOCKS[self.depth]
+        x = ConvBN(64, kernel=7, stride=2, dtype=self.dtype, name="stem")(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        outs = []
+        width, features = 64, 256
+        for stage, n_blocks in enumerate(blocks):
+            stride = 1 if stage == 0 else 2
+            for i in range(n_blocks):
+                x = Bottleneck(width, features, stride=stride if i == 0 else 1,
+                               dtype=self.dtype, name=f"res{stage + 2}_{i}")(x)
+            outs.append(x)
+            width *= 2
+            features *= 2
+        return outs
+
+
+class FPN(nn.Module):
+    """Feature Pyramid Network: lateral 1x1 + output 3x3 convs, nearest
+    top-down upsampling, P6 = stride-2 max-pool of P5."""
+    features: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+        """[C2..C5] -> [P2, P3, P4, P5, P6]."""
+        laterals = [
+            nn.Conv(self.features, (1, 1), use_bias=True, dtype=self.dtype,
+                    name=f"lateral{i + 2}")(c)
+            for i, c in enumerate(inputs)
+        ]
+        # top-down pathway
+        for i in range(len(laterals) - 2, -1, -1):
+            up = laterals[i + 1]
+            up = jax.image.resize(
+                up, (up.shape[0], up.shape[1] * 2, up.shape[2] * 2, up.shape[3]),
+                method="nearest")
+            laterals[i] = laterals[i] + up
+        outs = [
+            nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+                    dtype=self.dtype, name=f"output{i + 2}")(l)
+            for i, l in enumerate(laterals)
+        ]
+        p6 = nn.max_pool(outs[-1], (1, 1), strides=(2, 2))
+        outs.append(p6)
+        return outs
+
+
+class ResNetFPN(nn.Module):
+    depth: int = 101
+    fpn_features: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        cs = ResNet(self.depth, dtype=self.dtype, name="bottom_up")(x)
+        return FPN(self.fpn_features, dtype=self.dtype, name="fpn")(cs)

@@ -1,0 +1,85 @@
+"""Region Proposal Network: head + static-shape proposal selection.
+
+detectron2 RPN semantics with every dynamic shape replaced by a padded static
+budget: per-level top-k (pre-NMS), per-level NMS via the batched offset trick,
+global top-k (post-NMS).  Scores of padded/invalid slots are ``-inf`` and flow
+through NMS/top-k untouched.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from treedetection_tpu.ops.boxes import apply_deltas, clip_boxes
+from treedetection_tpu.ops.nms import batched_nms
+
+
+class RPNHead(nn.Module):
+    """Shared 3x3 conv + 1x1 objectness / 1x1 anchor-delta heads."""
+    num_anchors: int = 3
+    features: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]
+                 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+        conv = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                       dtype=self.dtype, name="conv")
+        obj = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
+                      name="objectness_logits")
+        deltas = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
+                         name="anchor_deltas")
+        logits, regs = [], []
+        for f in feats:
+            t = nn.relu(conv(f))
+            logits.append(obj(t))
+            regs.append(deltas(t))
+        return logits, regs
+
+
+class Proposals(NamedTuple):
+    boxes: jnp.ndarray    # (K, 4)
+    scores: jnp.ndarray   # (K,) objectness logit; -inf for padded slots
+
+
+def generate_proposals(logits: Sequence[jnp.ndarray],
+                       deltas: Sequence[jnp.ndarray],
+                       anchors: Sequence[jnp.ndarray],
+                       image_size: int,
+                       pre_nms_topk: int = 1000,
+                       post_nms_topk: int = 1000,
+                       nms_threshold: float = 0.7,
+                       min_size: float = 0.0) -> Proposals:
+    """Single-image proposal selection (vmap over batch at the caller).
+
+    ``logits[l]``: (H, W, A); ``deltas[l]``: (H, W, A*4); ``anchors[l]``:
+    (H*W*A, 4) static constants.
+    """
+    level_boxes, level_scores, level_ids = [], [], []
+    for lvl, (lg, dl, an) in enumerate(zip(logits, deltas, anchors)):
+        n = an.shape[0]
+        scores = lg.reshape(n).astype(jnp.float32)
+        d = dl.reshape(n, 4).astype(jnp.float32)
+        k = min(pre_nms_topk, n)
+        top_scores, idx = jax.lax.top_k(scores, k)
+        boxes = apply_deltas(d[idx], an[idx])
+        boxes = clip_boxes(boxes, image_size, image_size)
+        if min_size > 0:
+            wh_ok = ((boxes[:, 2] - boxes[:, 0]) >= min_size) & \
+                    ((boxes[:, 3] - boxes[:, 1]) >= min_size)
+            top_scores = jnp.where(wh_ok, top_scores, -jnp.inf)
+        level_boxes.append(boxes)
+        level_scores.append(top_scores)
+        level_ids.append(jnp.full((k,), lvl, dtype=jnp.int32))
+
+    all_boxes = jnp.concatenate(level_boxes)
+    all_scores = jnp.concatenate(level_scores)
+    all_ids = jnp.concatenate(level_ids)
+    keep = batched_nms(all_boxes, all_scores, all_ids, nms_threshold)
+    masked = jnp.where(keep, all_scores, -jnp.inf)
+    top_scores, idx = jax.lax.top_k(masked, post_nms_topk)
+    return Proposals(boxes=all_boxes[idx], scores=top_scores)
