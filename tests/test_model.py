@@ -1,0 +1,72 @@
+"""Model tests: Flax Mask R-CNN forward at small scale on the CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from treedetection_tpu.models import MaskRCNN, MaskRCNNConfig
+from treedetection_tpu.models.anchors import base_anchors, grid_anchors, pyramid_anchors
+from treedetection_tpu.models.mask_rcnn import create_model
+
+
+SMALL = MaskRCNNConfig(depth=50, input_size=128, rpn_pre_nms_topk=200,
+                       rpn_post_nms_topk=100, max_detections=10,
+                       score_threshold=0.05, bf16=False)
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model, params = create_model(SMALL)
+    return model, params
+
+
+class TestAnchors:
+    def test_base_anchor_areas(self):
+        a = base_anchors(64, (0.5, 1.0, 2.0))
+        areas = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        assert np.allclose(areas, 64 * 64, rtol=1e-5)
+        ratios = (a[:, 3] - a[:, 1]) / (a[:, 2] - a[:, 0])
+        assert np.allclose(sorted(ratios), [0.5, 1.0, 2.0], rtol=1e-5)
+
+    def test_grid_layout(self):
+        g = grid_anchors(4, 4, 16, 32, (1.0,))
+        assert g.shape == (16, 4)
+        centers_x = (g[:, 0] + g[:, 2]) / 2
+        assert np.allclose(centers_x[:4], [0, 16, 32, 48])
+
+    def test_pyramid_counts(self):
+        levels = pyramid_anchors(128)
+        # strides 4..64 -> 32^2, 16^2, 8^2, 4^2, 2^2 cells x 3 anchors
+        assert [a.shape[0] for a in levels] == [3072, 768, 192, 48, 12]
+
+
+class TestMaskRCNN:
+    def test_forward_shapes(self, small_model):
+        model, params = small_model
+        x = jnp.zeros((2, 128, 128, 3), dtype=jnp.float32)
+        out = model.apply(params, x)
+        assert out.boxes.shape == (2, 10, 4)
+        assert out.scores.shape == (2, 10)
+        assert out.masks.shape == (2, 10, 28, 28)
+        assert out.valid.dtype == jnp.bool_
+
+    def test_forward_jits(self, small_model):
+        model, params = small_model
+        fwd = jax.jit(lambda p, x: model.apply(p, x))
+        x = jnp.ones((1, 128, 128, 3), dtype=jnp.float32)
+        out = fwd(params, x)
+        assert np.isfinite(np.asarray(out.boxes)).all()
+        # scores for invalid detections are zeroed
+        s = np.asarray(out.scores)
+        v = np.asarray(out.valid)
+        assert (s[~v] == 0).all()
+
+    def test_boxes_within_image(self, small_model):
+        model, params = small_model
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((1, 128, 128, 3)), dtype=jnp.float32)
+        out = model.apply(params, x)
+        b = np.asarray(out.boxes)
+        assert (b >= 0).all() and (b <= 128).all()

@@ -1,0 +1,200 @@
+"""detectron2 ``.pth`` checkpoint -> Flax param tree conversion.
+
+The reference loads detectron2 Mask R-CNN weights (``model_combined.pth``,
+reference ``config.py:38-41``, ``example/config.yml:7``).  This module maps
+that state dict onto :class:`treedetection_tpu.models.MaskRCNN` params:
+
+* conv kernels: torch OIHW -> flax HWIO
+* ConvTranspose kernels: torch (in, out, kh, kw) -> flax (kh, kw, in, out)
+* FrozenBatchNorm (gamma, beta, mean, var) folded into FrozenBN (scale, bias)
+* box-head fc1: column permutation from CHW-flatten (torch) to HWC-flatten
+  (our ROIAlign output layout)
+* linear weights transposed (torch (out, in) -> flax (in, out))
+
+Layout conventions are pinned by torch-oracle tests in
+``tests/test_convert.py`` so a real checkpoint converts bit-exactly.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+BN_EPS = 1e-5  # detectron2 FrozenBatchNorm2d epsilon
+
+
+def _to_numpy(t) -> np.ndarray:
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def fold_frozen_bn(gamma: np.ndarray, beta: np.ndarray, mean: np.ndarray,
+                   var: np.ndarray, eps: float = BN_EPS) -> Tuple[np.ndarray, np.ndarray]:
+    """(gamma, beta, running_mean, running_var) -> (scale, bias) such that
+    ``x * scale + bias == (x - mean) / sqrt(var + eps) * gamma + beta``."""
+    scale = gamma / np.sqrt(var + eps)
+    return scale, beta - mean * scale
+
+
+def conv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch conv OIHW -> flax HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def deconv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (in, out, kh, kw) -> flax ConvTranspose
+    (kh, kw, in, out).  Flax's ConvTranspose (transpose_kernel=False) computes
+    a fractionally-strided conv with the UNFLIPPED kernel, while torch's
+    ConvTranspose2d applies the kernel flipped — so flip spatially here.
+    Pinned by ``tests/test_convert.py::test_deconv_parity``."""
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]
+
+
+def linear_weight(w: np.ndarray) -> np.ndarray:
+    """torch (out, in) -> flax (in, out)."""
+    return np.transpose(w)
+
+
+def fc1_weight_chw_to_hwc(w: np.ndarray, channels: int, resolution: int) -> np.ndarray:
+    """Permute fc1 input columns from torch's CHW flatten of the (C, R, R)
+    pooled feature to our HWC flatten of (R, R, C)."""
+    out_dim = w.shape[0]
+    w4 = w.reshape(out_dim, channels, resolution, resolution)
+    w4 = np.transpose(w4, (0, 2, 3, 1))  # -> (out, R, R, C)
+    return np.transpose(w4.reshape(out_dim, -1))  # flax (in, out)
+
+
+def _get_bn(sd: Mapping[str, Any], prefix: str) -> Tuple[np.ndarray, np.ndarray]:
+    return fold_frozen_bn(
+        _to_numpy(sd[f"{prefix}.weight"]),
+        _to_numpy(sd[f"{prefix}.bias"]),
+        _to_numpy(sd[f"{prefix}.running_mean"]),
+        _to_numpy(sd[f"{prefix}.running_var"]),
+    )
+
+
+def convert_detectron2_state_dict(sd: Mapping[str, Any], depth: int = 101,
+                                  fpn_channels: int = 256,
+                                  box_pool: int = 7) -> Dict[str, Any]:
+    """Map a detectron2 Mask R-CNN (R-FPN) state dict to our param tree.
+
+    Returns the ``{"params": ...}`` pytree accepted by ``MaskRCNN.apply``.
+    """
+    from treedetection_tpu.models.resnet import STAGE_BLOCKS
+    blocks = STAGE_BLOCKS[depth]
+
+    def convbn(src: str) -> Dict[str, Any]:
+        scale, bias = _get_bn(sd, f"{src}.norm")
+        return {
+            "conv": {"kernel": conv_kernel(_to_numpy(sd[f"{src}.weight"]))},
+            "norm": {"scale": scale, "bias": bias},
+        }
+
+    bottom_up: Dict[str, Any] = {"stem": convbn("backbone.bottom_up.stem.conv1")}
+    for stage, n_blocks in enumerate(blocks):
+        s = stage + 2
+        for i in range(n_blocks):
+            src = f"backbone.bottom_up.res{s}.{i}"
+            block: Dict[str, Any] = {
+                "conv1": convbn(f"{src}.conv1"),
+                "conv2": convbn(f"{src}.conv2"),
+                "conv3": convbn(f"{src}.conv3"),
+            }
+            if f"{src}.shortcut.weight" in sd:
+                block["shortcut"] = convbn(f"{src}.shortcut")
+            bottom_up[f"res{s}_{i}"] = block
+
+    fpn: Dict[str, Any] = {}
+    for lvl in range(2, 6):
+        fpn[f"lateral{lvl}"] = {
+            "kernel": conv_kernel(_to_numpy(sd[f"backbone.fpn_lateral{lvl}.weight"])),
+            "bias": _to_numpy(sd[f"backbone.fpn_lateral{lvl}.bias"]),
+        }
+        fpn[f"output{lvl}"] = {
+            "kernel": conv_kernel(_to_numpy(sd[f"backbone.fpn_output{lvl}.weight"])),
+            "bias": _to_numpy(sd[f"backbone.fpn_output{lvl}.bias"]),
+        }
+
+    rpn = {
+        "conv": {
+            "kernel": conv_kernel(_to_numpy(sd["proposal_generator.rpn_head.conv.weight"])),
+            "bias": _to_numpy(sd["proposal_generator.rpn_head.conv.bias"]),
+        },
+        "objectness_logits": {
+            "kernel": conv_kernel(_to_numpy(sd["proposal_generator.rpn_head.objectness_logits.weight"])),
+            "bias": _to_numpy(sd["proposal_generator.rpn_head.objectness_logits.bias"]),
+        },
+        "anchor_deltas": {
+            "kernel": conv_kernel(_to_numpy(sd["proposal_generator.rpn_head.anchor_deltas.weight"])),
+            "bias": _to_numpy(sd["proposal_generator.rpn_head.anchor_deltas.bias"]),
+        },
+    }
+
+    box_head = {
+        "fc1": {
+            "kernel": fc1_weight_chw_to_hwc(
+                _to_numpy(sd["roi_heads.box_head.fc1.weight"]), fpn_channels, box_pool),
+            "bias": _to_numpy(sd["roi_heads.box_head.fc1.bias"]),
+        },
+        "fc2": {
+            "kernel": linear_weight(_to_numpy(sd["roi_heads.box_head.fc2.weight"])),
+            "bias": _to_numpy(sd["roi_heads.box_head.fc2.bias"]),
+        },
+        "cls_score": {
+            "kernel": linear_weight(_to_numpy(sd["roi_heads.box_predictor.cls_score.weight"])),
+            "bias": _to_numpy(sd["roi_heads.box_predictor.cls_score.bias"]),
+        },
+        "bbox_pred": {
+            "kernel": linear_weight(_to_numpy(sd["roi_heads.box_predictor.bbox_pred.weight"])),
+            "bias": _to_numpy(sd["roi_heads.box_predictor.bbox_pred.bias"]),
+        },
+    }
+
+    mask_head: Dict[str, Any] = {}
+    for i in range(1, 5):
+        mask_head[f"mask_fcn{i}"] = {
+            "kernel": conv_kernel(_to_numpy(sd[f"roi_heads.mask_head.mask_fcn{i}.weight"])),
+            "bias": _to_numpy(sd[f"roi_heads.mask_head.mask_fcn{i}.bias"]),
+        }
+    mask_head["deconv"] = {
+        "kernel": deconv_kernel(_to_numpy(sd["roi_heads.mask_head.deconv.weight"])),
+        "bias": _to_numpy(sd["roi_heads.mask_head.deconv.bias"]),
+    }
+    mask_head["predictor"] = {
+        "kernel": conv_kernel(_to_numpy(sd["roi_heads.mask_head.predictor.weight"])),
+        "bias": _to_numpy(sd["roi_heads.mask_head.predictor.bias"]),
+    }
+
+    params = {
+        "backbone": {"bottom_up": bottom_up, "fpn": fpn},
+        "rpn_head": rpn,
+        "box_head": box_head,
+        "mask_head": mask_head,
+    }
+    import jax.numpy as jnp
+    params = _tree_map_np(lambda a: jnp.asarray(a, dtype=jnp.float32), params)
+    return {"params": params}
+
+
+def _tree_map_np(fn, tree):
+    if isinstance(tree, dict):
+        return {k: _tree_map_np(fn, v) for k, v in tree.items()}
+    return fn(tree)
+
+
+def load_checkpoint(path: str, depth: int = 101) -> Dict[str, Any]:
+    """Load a model checkpoint: detectron2 ``.pth`` (torch) or our own
+    orbax/msgpack format (``.ckpt``/directory)."""
+    if path.endswith(".pth") or path.endswith(".pkl"):
+        import torch
+        blob = torch.load(path, map_location="cpu", weights_only=False)
+        sd = blob.get("model", blob) if isinstance(blob, dict) else blob
+        return convert_detectron2_state_dict(sd, depth=depth)
+    # orbax checkpoint directory
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path)
