@@ -1,0 +1,132 @@
+"""Benchmark: 1024^2 RGB tile inference throughput per chip, end-to-end
+through the jitted pipeline (normalize -> resize -> Mask R-CNN R101-FPN ->
+NMS -> masks) plus host polygonization of the detections.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: the reference publishes no numbers (BASELINE.md).  The
+``vs_baseline`` denominator is a documented estimate of the reference stack's
+throughput re-expressed in this metric's units: detectron2 Mask R-CNN
+R101-FPN with AMP on the reference dev GPU (RTX 4090, installations.md)
+sustains ~25 of its 450^2 tiles/sec at batch 10 ~= 4.8 equivalent 1024^2
+tiles/sec (pixel-normalized).  Replace with a measured number when the
+reference can be run on comparable hardware.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_TILES_PER_SEC_1024 = 4.8  # estimated; see module docstring
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    from treedetection_tpu.models.mask_rcnn import MaskRCNNConfig, create_model
+    from treedetection_tpu.ops.image import normalize_bgr
+    from treedetection_tpu.prediction import _resize_mask_np
+    from treedetection_tpu.native import trace_contours
+
+    backend = jax.default_backend()
+    on_cpu = backend == "cpu"
+    size = 256 if on_cpu else 1024
+    batch = 1 if on_cpu else 8
+    iters = 2 if on_cpu else 10
+    cfg = MaskRCNNConfig(depth=50 if on_cpu else 101, input_size=size,
+                         bf16=not on_cpu,
+                         rpn_pre_nms_topk=200 if on_cpu else 1000,
+                         rpn_post_nms_topk=100 if on_cpu else 1000,
+                         max_detections=10 if on_cpu else 100)
+    print(f"bench: backend={backend} size={size} batch={batch} depth={cfg.depth}",
+          file=sys.stderr)
+    model, params = create_model(cfg)
+    params = jax.device_put(params)
+
+    # params captured as compile-time constants (see prediction.Predictor):
+    # lets XLA fold frozen-BN and pre-layout weights; avoids the axon
+    # backend's per-call argument-streaming penalty.
+    @jax.jit
+    def forward(tiles):
+        x = normalize_bgr(tiles)
+        return model.apply(params, x)
+
+    rng = np.random.default_rng(0)
+    tiles = jnp.asarray(rng.integers(0, 255, (batch, size, size, 3))
+                        .astype(np.float32))
+
+    import os
+    if os.environ.get("BENCH_DETAIL"):
+        # stage breakdown: backbone+rpn-head only vs full model
+        from treedetection_tpu.train.losses import _forward_features
+
+        @jax.jit
+        def backbone_only(t):
+            x = normalize_bgr(t)
+            feats, logits, deltas = model.apply(params, x,
+                                                method=_forward_features)
+            return logits[0].astype(jnp.float32).sum()
+
+        float(backbone_only(tiles))
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            float(backbone_only(tiles))
+            ts.append(time.time() - t0)
+        print(f"bench-detail: backbone+rpn_head {np.median(ts) * 1e3:.1f}ms/batch",
+              file=sys.stderr)
+
+    t0 = time.time()
+    out = forward(tiles)
+    jax.block_until_ready(out)
+    print(f"bench: first compile+run {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # timed steps (new data each iter to defeat caching)
+    times = []
+    host_out = None
+    for i in range(iters):
+        data = jnp.asarray(rng.integers(0, 255, (batch, size, size, 3))
+                           .astype(np.float32))
+        t0 = time.time()
+        out = forward(data)
+        host_out = jax.device_get(out)  # fetch = the only reliable sync here
+        times.append(time.time() - t0)
+    device_time = float(np.median(times))
+
+    # host polygonization cost for the real detections of the last batch
+    t0 = time.time()
+    n_polys = 0
+    for b in range(batch):
+        for d in range(host_out.scores.shape[1]):
+            if not host_out.valid[b, d]:
+                continue
+            box = np.asarray(host_out.boxes[b, d])
+            bw = max(int(box[2] - box[0]), 1)
+            bh = max(int(box[3] - box[1]), 1)
+            m = _resize_mask_np(np.asarray(host_out.masks[b, d]),
+                                min(bh, 512), min(bw, 512))
+            n_polys += len(trace_contours((m > 0.5).astype(np.uint8)))
+    host_time = time.time() - t0
+
+    total = device_time + host_time
+    tiles_per_sec = batch / total
+    print(f"bench: device {device_time * 1e3:.1f}ms/batch, host polygonize "
+          f"{host_time * 1e3:.1f}ms ({n_polys} rings), p50/tile "
+          f"{total / batch * 1e3:.1f}ms", file=sys.stderr)
+
+    value = tiles_per_sec
+    result = {
+        "metric": f"{size}^2 RGB tiles/sec/chip end-to-end (model+polygonize)",
+        "value": round(value, 3),
+        "unit": "tiles/s",
+        "vs_baseline": round(value / REFERENCE_TILES_PER_SEC_1024, 2)
+        if not on_cpu else None,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,254 @@
+"""End-to-end pipeline tests: stitching, postprocessing, fusion, and the full
+process_files run on synthetic data with a tiny model."""
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from treedetection_tpu.geo import Affine, write_geotiff
+from treedetection_tpu.vector import read_gpkg, write_gpkg
+from treedetection_tpu import stitching
+
+
+def square(x0, y0, size):
+    return np.array([[x0, y0], [x0 + size, y0], [x0 + size, y0 + size], [x0, y0 + size]],
+                    dtype=np.float64)
+
+
+def circle(cx, cy, r, n=24):
+    a = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    return np.stack([cx + r * np.cos(a), cy + r * np.sin(a)], axis=1)
+
+
+def write_prediction_json(path, crowns_scores):
+    data = [{"image_id": "x.tif", "category_id": 0, "score": s,
+             "polygon_coords": [np.asarray(c).tolist()]}
+            for c, s in crowns_scores]
+    with open(path, "w") as fh:
+        json.dump(data, fh)
+
+
+class TestStitching:
+    def test_filename_geoinfo(self):
+        assert stitching.filename_geoinfo("324125317_412000_5317000_50_20_25832") \
+            == (412000, 5317000, 50, 20, 25832)
+
+    def test_shrunk_box(self):
+        b = stitching.shrunk_tile_box("img_100_200_50_20_25832", shift=1)
+        assert b == (81, 181, 169, 269)
+
+    def test_stitch_filters_edge_crowns(self, tmp_path):
+        tile_id = "img_100_200_50_20_25832"
+        pred = tmp_path / f"Prediction_{tile_id}.json"
+        inside = circle(125, 225, 5)
+        edge = circle(82, 182, 5)  # pokes outside the shrunk box
+        write_prediction_json(str(pred), [(inside, 0.9), (edge, 0.8)])
+        crowns, scores = stitching.stitch_tile_file(str(pred), 0.2, shift=1)
+        assert len(crowns) == 1
+        assert scores == [0.9]
+
+    def test_stitch_image_writes_gpkg(self, tmp_path):
+        d = tmp_path / "img"
+        d.mkdir()
+        write_prediction_json(
+            str(d / "Prediction_img_100_200_50_20_25832.json"),
+            [(circle(125, 225, 5), 0.9)])
+        write_prediction_json(
+            str(d / "Prediction_img_150_200_50_20_25832.json"),
+            [(circle(175, 225, 6), 0.7)])
+        out = str(tmp_path / "img.gpkg")
+        n = stitching.stitch_image(str(d), out)
+        assert n == 2
+        geoms, props, srs = read_gpkg(out)
+        assert srs == 25832
+        assert {round(p["Confidence_score"], 1) for p in props} == {0.9, 0.7}
+
+
+class TestPostprocessing:
+    def _config(self, **over):
+        cfg = {"confidence_threshold": 0.3, "containment_threshold": 0.9,
+               "height_threshold": 3, "ndvi_mean_threshold": 0.1,
+               "ndvi_var_threshold": 0.1, "iou_threshold": 0.5,
+               "area_threshold": 1, "ndvi_scaling_factor": 1.0,
+               "height_scaling_factor": 1.0, "use_overlap": False,
+               "tile_width": 50, "tile_height": 50, "buffer": 20,
+               "overlapping_tiles_width": 3, "overlapping_tiles_height": 3,
+               "logger": None}
+        cfg.update(over)
+        return cfg
+
+    def test_confidence_and_area_filters(self):
+        from treedetection_tpu.postprocessing import process_crowns
+        # squares: invariant under the reference's 2 m simplify
+        crowns = [square(6, 6, 8), square(26, 26, 8), square(50, 50, 0.5)]
+        scores = np.array([0.9, 0.1, 0.9], dtype=np.float32)
+        geoms, props = process_crowns(crowns, scores, self._config(),
+                                      None, None, None, None, None)
+        # crown 1 dropped (low confidence), crown 2 dropped (area < 1 m^2)
+        assert len(geoms) == 1
+        assert props[0]["Confidence_score"] == pytest.approx(0.9)
+        assert props[0]["Area"] == pytest.approx(64.0, rel=1e-3)
+        assert props[0]["Diameter"] == pytest.approx(2 * np.sqrt(64 / np.pi), rel=1e-3)
+
+    def test_height_gate(self):
+        from treedetection_tpu.postprocessing import process_crowns
+        t = Affine.from_origin(0, 100, 1.0, 1.0)
+        height = np.zeros((100, 100), dtype=np.float32)
+        height[10:30, 10:30] = 10.0  # tall region around (10..30, y 70..90)
+        crowns = [circle(20, 80, 5), circle(70, 20, 5)]  # tall vs flat ground
+        scores = np.array([0.9, 0.9], dtype=np.float32)
+        geoms, props = process_crowns(crowns, scores, self._config(),
+                                      height, t, None, None, None)
+        assert len(geoms) == 1
+        assert props[0]["TreeHeight"] == pytest.approx(10.0, abs=0.5)
+
+    def test_ndvi_gate(self):
+        from treedetection_tpu.postprocessing import process_crowns
+        t = Affine.from_origin(0, 100, 1.0, 1.0)
+        ndvi = np.full((100, 100), 0.02, dtype=np.float32)  # barren
+        ndvi[60:95, 5:40] = 0.5  # vegetated block around x 5..40, y 5..40
+        crowns = [circle(20, 20, 8), circle(70, 70, 8)]
+        scores = np.array([0.9, 0.9], dtype=np.float32)
+        geoms, props = process_crowns(crowns, scores, self._config(),
+                                      None, None, ndvi, t, None)
+        assert len(geoms) == 1  # barren crown dropped
+
+    def test_iou_dedupe_keeps_best(self):
+        from treedetection_tpu.postprocessing import process_crowns
+        a = circle(20, 20, 5)
+        b = circle(20.5, 20, 5)  # near-duplicate
+        c = circle(60, 60, 5)
+        scores = np.array([0.7, 0.95, 0.8], dtype=np.float32)
+        geoms, props = process_crowns([a, b, c], scores,
+                                      self._config(iou_threshold=0.5),
+                                      None, None, None, None, None)
+        kept_scores = sorted(p["Confidence_score"] for p in props)
+        assert kept_scores == pytest.approx([0.8, 0.95])
+
+    def test_containment_drops_umbrella(self):
+        from treedetection_tpu.postprocessing import process_crowns
+        big = square(0, 0, 40)
+        inner = [circle(8, 8, 3), circle(20, 20, 3), circle(32, 32, 3)]
+        scores = np.array([0.9, 0.9, 0.9, 0.9], dtype=np.float32)
+        geoms, props = process_crowns([big] + inner, scores, self._config(),
+                                      None, None, None, None, None)
+        # big contains 3 -> dropped; inner kept
+        assert len(geoms) == 3
+        assert all(p["Area"] < 100 for p in props)
+
+    def test_border_exclusion(self):
+        from treedetection_tpu.postprocessing import border_overlap_exclusion
+        cfg = self._config(use_overlap=True)
+        bounds = np.array([
+            [0.5, 50, 8, 58],      # near left border
+            [500, 500, 520, 520],  # interior
+            [40, 40, 60, 60],      # inside left overlap band (half_w = 135)
+        ])
+        keep = border_overlap_exclusion(bounds, (0, 0, 1000, 1000), cfg,
+                                        is_merged_strip=False)
+        # near-border dropped, interior kept, overlap-band (half_w=135) dropped
+        assert keep.tolist() == [False, True, False]
+        keep2 = border_overlap_exclusion(
+            np.array([[400, 400, 420, 420]]), (0, 0, 1000, 1000), cfg, False)
+        assert keep2.tolist() == [True]
+
+
+class TestFusion:
+    def test_fuse_selects_by_outline(self, tmp_path):
+        from treedetection_tpu.fusion import fuse_predictions
+        from treedetection_tpu.vector.geojson import write_geojson
+        outline = str(tmp_path / "forest.geojson")
+        write_geojson(outline, [square(0, 0, 100)], [{}], crs_epsg=25832)
+
+        urban = str(tmp_path / "img_urban.gpkg")
+        forest = str(tmp_path / "img_forest.gpkg")
+        # forest model: one crown inside forest (keep), one far outside (drop)
+        write_gpkg(forest, [circle(50, 50, 5), circle(500, 500, 5)],
+                   [{"Confidence_score": 0.9}, {"Confidence_score": 0.8}])
+        # urban model: one crown inside forest (drop), one outside (keep)
+        write_gpkg(urban, [circle(50, 50, 4), circle(200, 200, 4)],
+                   [{"Confidence_score": 0.7}, {"Confidence_score": 0.6}])
+        cfg = {"logger": None}
+        outs = fuse_predictions(cfg, [urban], [forest], outline,
+                                str(tmp_path / "fused"))
+        geoms, props, _ = read_gpkg(outs[0])
+        scores = sorted(round(p["Confidence_score"], 1) for p in props)
+        assert scores == [0.6, 0.9]
+
+    def test_exclude_outlines(self, tmp_path):
+        from treedetection_tpu.fusion import exclude_outlines
+        from treedetection_tpu.vector.geojson import write_geojson
+        water = str(tmp_path / "water.geojson")
+        write_geojson(water, [square(0, 0, 50)], [{}])
+        gp = str(tmp_path / "crowns.gpkg")
+        write_gpkg(gp, [circle(25, 25, 5), circle(100, 100, 5)],
+                   [{"Confidence_score": 0.9}, {"Confidence_score": 0.8}])
+        exclude_outlines([gp], [water])
+        geoms, props, _ = read_gpkg(gp)
+        assert len(geoms) == 1
+        assert props[0]["Confidence_score"] == pytest.approx(0.8)
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_process_files_runs(self, tmp_path, rng):
+        """Full pipeline on a synthetic 100 m tile with a tiny random model.
+
+        Random weights produce arbitrary detections; the contract under test
+        is that every stage runs, intermediates appear with the reference
+        naming, and the final processed GPKG is written.
+        """
+        t = Affine.from_origin(412000.0, 5318000.0, 0.5, 0.5)
+        rgbi = rng.integers(0, 255, (200, 200, 4), dtype=np.uint8)
+        ndsm = (rng.random((200, 200)) * 20).astype(np.float32)
+        (tmp_path / "rgb").mkdir()
+        (tmp_path / "nDSM").mkdir()
+        write_geotiff(str(tmp_path / "rgb" / "324125317.tif"), rgbi, t, crs=25832)
+        write_geotiff(str(tmp_path / "nDSM" / "324125317.tif"), ndsm, t,
+                      crs=25832, nodata=-9999.0)
+        model_file = tmp_path / "model.ckpt"
+        model_file.write_text("placeholder")  # random-init path
+
+        cfg_yaml = {
+            "image_directory": "rgb",
+            "height_data_path": "nDSM",
+            "combined_model": "model.ckpt",
+            "output_directory": "out",
+            "tiles_path": "tiles",
+            "tile_width": 50, "tile_height": 50, "buffer": 10,
+            "batch_size": 2,
+            "use_overlap": False,
+            "model_depth": 50, "model_input_size": 128,
+            "rpn_pre_nms_topk": 100, "rpn_post_nms_topk": 50,
+            "max_detections": 10,
+            "ndvi_mean_threshold": -2.0, "ndvi_var_threshold": 99.0,
+            "height_threshold": 0,
+            "keep_intermediate": True,
+            "mixed_precision": False,
+        }
+        cfg_path = tmp_path / "config.yml"
+        cfg_path.write_text(yaml.safe_dump(cfg_yaml))
+
+        from treedetection_tpu.config import get_config, Config
+        from treedetection_tpu.detection import process_files
+        Config.reset()
+        config, _ = get_config(str(cfg_path))
+        outputs = process_files(config)
+
+        tiles_json = tmp_path / "tiles" / "324125317.json"
+        assert tiles_json.exists()
+        meta = json.loads(tiles_json.read_text())
+        assert len(meta) == 4  # 100m x 100m -> 2x2 grid of 50m tiles
+
+        pred_dir = tmp_path / "out" / "predictions" / "324125317"
+        assert len(list(pred_dir.glob("Prediction_*.json"))) == 4
+        stitched = tmp_path / "out" / "predictions" / "324125317.gpkg"
+        assert stitched.exists()
+        processed = tmp_path / "out" / "processed_324125317.gpkg"
+        assert processed.exists()
+        geoms, props, srs = read_gpkg(str(processed))
+        assert srs == 25832

@@ -283,9 +283,12 @@ class ModelSpec:
 def model_spec(config: Dict[str, Any]) -> ModelSpec:
     """Build the static model spec from the user config."""
     return ModelSpec(
+        depth=int(config.get("model_depth", 101)),
         score_threshold=float(config.get("confidence_threshold_stitching", 0.3)),
         nms_threshold=0.5,
         input_size=int(config.get("model_input_size", 1024)),
+        pre_nms_topk=int(config.get("rpn_pre_nms_topk", 1000)),
+        post_nms_topk=int(config.get("rpn_post_nms_topk", 1000)),
         max_detections=int(config.get("max_detections", 100)),
         bf16=bool(config.get("mixed_precision", True)),
     )

@@ -173,3 +173,36 @@ def merge_and_crop_images(config: Dict[str, Any],
 
     images_paths.extend(process(images_paths, rgbi=True))
     height_paths.extend(process(height_paths, rgbi=False))
+
+
+def merge_across_batches(config: Dict[str, Any],
+                         batch_dirs: Sequence[str],
+                         rgbi: bool = True,
+                         out_subdir: Optional[str] = None) -> List[str]:
+    """Seam strips ACROSS delivery-batch directories (county-boundary seams).
+
+    Standalone counterpart of reference
+    ``supplementary/inference_get_neigboring.py:18-143``: collect the rasters
+    of multiple directories into one neighbor search so strips spanning batch
+    boundaries get generated too.  Strips land in each left/top image's own
+    directory's merged folder (or ``out_subdir``).
+    """
+    import glob as _glob
+    logger = config.get("logger")
+    all_paths: List[str] = []
+    for d in batch_dirs:
+        all_paths.extend(sorted(_glob.glob(os.path.join(d, "*.tif"))))
+    merged_dir = out_subdir or config.get("merged_path", "merged")
+    sub_config = dict(config)
+    sub_config["merged_path"] = merged_dir
+    paths = list(all_paths)
+    process_fn_created: List[str] = []
+    # reuse the pairwise machinery with the combined list
+    before = set(paths)
+    merge_and_crop_images(sub_config, paths if rgbi else [],
+                          [] if rgbi else paths)
+    created = [p for p in paths if p not in before]
+    if logger:
+        logger.info(f"Cross-batch merging created {len(created)} strips "
+                    f"from {len(all_paths)} rasters in {len(batch_dirs)} batches")
+    return created

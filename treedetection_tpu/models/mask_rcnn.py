@@ -116,9 +116,13 @@ def create_model(cfg: Optional[MaskRCNNConfig] = None,
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     # Param shapes are independent of the spatial input size (convs + FCs over
     # pooled features), so initialize at a small resolution to keep init cheap
-    # and reuse the params at the real one.
-    init_cfg = dataclasses.replace(cfg, input_size=128)
+    # and reuse the params at the real one.  Init runs pinned to the host CPU:
+    # tracing the full forward through a remote-compiled accelerator backend
+    # costs minutes, and init only produces arrays.
+    init_cfg = dataclasses.replace(cfg, input_size=128, bf16=False)
     init_model = MaskRCNN(init_cfg)
-    dummy = jnp.zeros((1, 128, 128, 3), dtype=jnp.float32)
-    params = init_model.init(rng, dummy)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        dummy = jnp.zeros((1, 128, 128, 3), dtype=jnp.float32)
+        params = jax.jit(init_model.init, backend="cpu")(rng, dummy)
     return model, params

@@ -59,7 +59,12 @@ def generate_proposals(logits: Sequence[jnp.ndarray],
     ``logits[l]``: (H, W, A); ``deltas[l]``: (H, W, A*4); ``anchors[l]``:
     (H*W*A, 4) static constants.
     """
-    level_boxes, level_scores, level_ids = [], [], []
+    from treedetection_tpu.ops.nms import nms_mask
+
+    # NMS runs per level (exactly what detectron2's level-offset batched NMS
+    # computes) so the IoU matrices stay at K_l^2 instead of (sum K_l)^2 —
+    # a ~25x cut in NMS memory traffic for the 5-level pyramid.
+    level_boxes, level_scores = [], []
     for lvl, (lg, dl, an) in enumerate(zip(logits, deltas, anchors)):
         n = an.shape[0]
         scores = lg.reshape(n).astype(jnp.float32)
@@ -72,14 +77,11 @@ def generate_proposals(logits: Sequence[jnp.ndarray],
             wh_ok = ((boxes[:, 2] - boxes[:, 0]) >= min_size) & \
                     ((boxes[:, 3] - boxes[:, 1]) >= min_size)
             top_scores = jnp.where(wh_ok, top_scores, -jnp.inf)
+        keep = nms_mask(boxes, top_scores, nms_threshold)
         level_boxes.append(boxes)
-        level_scores.append(top_scores)
-        level_ids.append(jnp.full((k,), lvl, dtype=jnp.int32))
+        level_scores.append(jnp.where(keep, top_scores, -jnp.inf))
 
     all_boxes = jnp.concatenate(level_boxes)
     all_scores = jnp.concatenate(level_scores)
-    all_ids = jnp.concatenate(level_ids)
-    keep = batched_nms(all_boxes, all_scores, all_ids, nms_threshold)
-    masked = jnp.where(keep, all_scores, -jnp.inf)
-    top_scores, idx = jax.lax.top_k(masked, post_nms_topk)
+    top_scores, idx = jax.lax.top_k(all_scores, post_nms_topk)
     return Proposals(boxes=all_boxes[idx], scores=top_scores)

@@ -23,6 +23,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _bilinear_gather(fmap: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
@@ -111,41 +112,47 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     """Pool each box from its assigned FPN level -> (N, R, R, C).
 
     ``fmaps``: P2..P5 feature maps, (H_l, W_l, C), H halving per level.
-    Implementation: pad all levels to the P2 spatial shape, stack to
-    (L, H, W, C), then gather with the per-box level as the leading index —
-    one pass over the boxes, no per-level recompute.
+    Implementation: flatten every level to rows and concatenate into ONE
+    (sum HW, C) buffer; each sample point turns into a flat row index
+    ``base[level] + row * W_level + col``.  The four bilinear corners become
+    four row-gathers from the flat buffer — no padded (L, H0, W0, C) stack
+    (which costs 4x the feature memory and was the HBM hog at batch 8),
+    and row-gathers with the channel dim contiguous are the layout XLA's TPU
+    gather handles best.
     """
     L = len(fmaps)
-    h0, w0 = fmaps[0].shape[0], fmaps[0].shape[1]
-    stacked = jnp.stack([
-        jnp.pad(f, ((0, h0 - f.shape[0]), (0, w0 - f.shape[1]), (0, 0)))
-        for f in fmaps
-    ])  # (L, H0, W0, C)
+    C = fmaps[0].shape[-1]
+    flat = jnp.concatenate([f.reshape(-1, C) for f in fmaps], axis=0)
+    hs = np.asarray([f.shape[0] for f in fmaps])
+    ws = np.asarray([f.shape[1] for f in fmaps])
+    bases = np.concatenate([[0], np.cumsum(hs * ws)[:-1]])
+
     levels = assign_fpn_levels(boxes, min_level=2, max_level=2 + L - 1)
     scales = 1.0 / jnp.asarray(strides, dtype=boxes.dtype)
     ys, xs = _sample_grid(boxes, scales[levels], resolution, sampling_ratio)
 
-    # bilinear gather against the per-box level slice
-    h = jnp.asarray([f.shape[0] for f in fmaps])[levels]
-    w = jnp.asarray([f.shape[1] for f in fmaps])[levels]
-    hb = h[:, None, None, None, None].astype(boxes.dtype)
-    wb = w[:, None, None, None, None].astype(boxes.dtype)
-    valid = (ys > -1.0) & (ys < hb) & (xs > -1.0) & (xs < wb)
-    y = jnp.clip(ys, 0.0, hb - 1.0)
-    x = jnp.clip(xs, 0.0, wb - 1.0)
+    h = jnp.asarray(hs)[levels][:, None, None, None, None]
+    w = jnp.asarray(ws)[levels][:, None, None, None, None]
+    base = jnp.asarray(bases)[levels][:, None, None, None, None]
+    hf = h.astype(boxes.dtype)
+    wf = w.astype(boxes.dtype)
+    valid = (ys > -1.0) & (ys < hf) & (xs > -1.0) & (xs < wf)
+    y = jnp.clip(ys, 0.0, hf - 1.0)
+    x = jnp.clip(xs, 0.0, wf - 1.0)
     y0 = jnp.floor(y).astype(jnp.int32)
     x0 = jnp.floor(x).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, (h[:, None, None, None, None] - 1))
-    x1 = jnp.minimum(x0 + 1, (w[:, None, None, None, None] - 1))
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
     ly = (y - y0.astype(y.dtype))[..., None]
     lx = (x - x0.astype(x.dtype))[..., None]
-    lv = levels[:, None, None, None, None]
-    lvb = jnp.broadcast_to(lv, y0.shape)
-    v00 = stacked[lvb, y0, x0]
-    v01 = stacked[lvb, y0, x1]
-    v10 = stacked[lvb, y1, x0]
-    v11 = stacked[lvb, y1, x1]
-    out = (v00 * (1 - ly) * (1 - lx) + v01 * (1 - ly) * lx
-           + v10 * ly * (1 - lx) + v11 * ly * lx)
+
+    def rows(yy, xx):
+        idx = (base + yy * w + xx).reshape(-1)
+        return flat[idx].reshape((*yy.shape, C))
+
+    out = (rows(y0, x0) * (1 - ly) * (1 - lx)
+           + rows(y0, x1) * (1 - ly) * lx
+           + rows(y1, x0) * ly * (1 - lx)
+           + rows(y1, x1) * ly * lx)
     out = jnp.where(valid[..., None], out, 0.0)
     return out.mean(axis=(3, 4))

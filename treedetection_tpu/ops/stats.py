@@ -1,0 +1,168 @@
+"""Batched polygon raster statistics on device.
+
+Replaces the reference's per-polygon Python loop with GPU circle-containment
+tests (reference ``postprocessing.py:25-347``, circle test at
+``utilities.py:78-98``) with one static-shape batched kernel: every polygon
+gets a fixed SxS sample grid over its bbox; grid points are tested against the
+polygon edges (exact even-odd PIP, all polygons at once) and the raster is
+bilinearly sampled at the inside points.  Stats (max + argmax location, min,
+mean, var) are masked reductions.
+
+Shapes: polygons (N, P, 2) NaN-padded, raster (H, W).  Everything vmaps /
+jits; N and P are padded to fixed budgets by the caller.
+
+A ``compat_circle`` flag reproduces the reference's bounding-circle
+approximation for output-parity testing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PolygonStats(NamedTuple):
+    max: jnp.ndarray        # (N,)
+    min: jnp.ndarray        # (N,)
+    mean: jnp.ndarray       # (N,)
+    var: jnp.ndarray        # (N,)
+    argmax_xy: jnp.ndarray  # (N, 2) geo coords of the max sample
+    count: jnp.ndarray      # (N,) inside-sample count
+
+
+def points_in_polygons(points: jnp.ndarray, polys: jnp.ndarray) -> jnp.ndarray:
+    """Even-odd PIP: points (N, M, 2) vs NaN-padded polys (N, P, 2) -> (N, M) bool."""
+    x = points[..., 0][:, :, None]                    # (N, M, 1)
+    y = points[..., 1][:, :, None]
+    x1 = polys[:, None, :, 0]                         # (N, 1, P)
+    y1 = polys[:, None, :, 1]
+    x2 = jnp.roll(polys[:, :, 0], -1, axis=1)[:, None, :]
+    y2 = jnp.roll(polys[:, :, 1], -1, axis=1)[:, None, :]
+    # padded vertices (NaN) produce NaN comparisons -> False, and the roll
+    # seam edge (last real vertex -> first vertex) is handled by masking:
+    valid_edge = jnp.isfinite(x1) & jnp.isfinite(x2)
+    cond = ((y1 > y) != (y2 > y)) & valid_edge
+    slope = (x2 - x1) / (y2 - y1)
+    xint = x1 + (y - y1) * slope
+    crossings = jnp.sum(jnp.where(cond & (x < xint), 1, 0), axis=-1)
+    return (crossings % 2) == 1
+
+
+def _close_rings(polys: jnp.ndarray) -> jnp.ndarray:
+    """Append each ring's first vertex at its first NaN slot so the roll seam
+    closes the ring correctly.  Implemented by replacing the first padded
+    vertex with vertex 0 (callers pad with at least one NaN row)."""
+    n, p, _ = polys.shape
+    finite = jnp.isfinite(polys[:, :, 0])
+    lengths = jnp.sum(finite, axis=1)                 # (N,)
+    idx = jnp.clip(lengths, 0, p - 1)
+    first = polys[:, 0, :]
+    closed = polys.at[jnp.arange(n), idx].set(first)
+    return closed
+
+
+def sample_grid_over_bboxes(polys: jnp.ndarray, grid: int
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, grid*grid, 2) sample points covering each polygon's bbox, plus the
+    per-polygon (cell_w * cell_h) sample footprint area."""
+    minxy = jnp.nanmin(polys, axis=1)                 # (N, 2)
+    maxxy = jnp.nanmax(polys, axis=1)
+    span = jnp.maximum(maxxy - minxy, 1e-6)
+    t = (jnp.arange(grid, dtype=polys.dtype) + 0.5) / grid
+    gx = minxy[:, None, 0] + t[None, :] * span[:, None, 0]   # (N, G)
+    gy = minxy[:, None, 1] + t[None, :] * span[:, None, 1]
+    px = jnp.broadcast_to(gx[:, None, :], (polys.shape[0], grid, grid))
+    py = jnp.broadcast_to(gy[:, :, None], (polys.shape[0], grid, grid))
+    pts = jnp.stack([px.reshape(polys.shape[0], -1),
+                     py.reshape(polys.shape[0], -1)], axis=-1)
+    cell_area = (span[:, 0] / grid) * (span[:, 1] / grid)
+    return pts, cell_area
+
+
+def bilinear_sample_raster(raster: jnp.ndarray, affine: jnp.ndarray,
+                           pts: jnp.ndarray) -> jnp.ndarray:
+    """Sample raster (H, W) at geo points (..., 2) under affine (6,) —
+    pixel-center convention; out-of-raster samples return NaN."""
+    a, b, c, d, e, f = (affine[i] for i in range(6))
+    det = a * e - b * d
+    col = (e * (pts[..., 0] - c) - b * (pts[..., 1] - f)) / det
+    row = (-d * (pts[..., 0] - c) + a * (pts[..., 1] - f)) / det
+    # pixel centers at (col - 0.5, row - 0.5) in index space
+    ci = col - 0.5
+    ri = row - 0.5
+    h, w = raster.shape
+    inside = (ci >= -0.5) & (ci <= w - 0.5) & (ri >= -0.5) & (ri <= h - 0.5)
+    c0 = jnp.clip(jnp.floor(ci).astype(jnp.int32), 0, w - 1)
+    r0 = jnp.clip(jnp.floor(ri).astype(jnp.int32), 0, h - 1)
+    c1 = jnp.minimum(c0 + 1, w - 1)
+    r1 = jnp.minimum(r0 + 1, h - 1)
+    lc = jnp.clip(ci - c0, 0.0, 1.0)
+    lr = jnp.clip(ri - r0, 0.0, 1.0)
+    v = (raster[r0, c0] * (1 - lr) * (1 - lc) + raster[r0, c1] * (1 - lr) * lc
+         + raster[r1, c0] * lr * (1 - lc) + raster[r1, c1] * lr * lc)
+    return jnp.where(inside, v, jnp.nan)
+
+
+@partial(jax.jit, static_argnames=("grid", "compat_circle"))
+def polygon_raster_stats_batch(polys: jnp.ndarray, raster: jnp.ndarray,
+                               affine: jnp.ndarray, grid: int = 32,
+                               compat_circle: bool = False) -> PolygonStats:
+    """Masked raster stats for every polygon in one fused program.
+
+    ``polys``: (N, P, 2) NaN-padded exterior rings (geo coords);
+    ``raster``: (H, W) float; ``affine``: 6-vector pixel->geo transform.
+    """
+    pts, _ = sample_grid_over_bboxes(polys, grid)
+    if compat_circle:
+        # reference semantics: a point counts as inside when within the
+        # polygon's bounding circle (utilities.py:78-98)
+        center = (jnp.nanmin(polys, axis=1) + jnp.nanmax(polys, axis=1)) / 2
+        d2 = jnp.nansum((polys - center[:, None, :]) ** 2, axis=-1)
+        radius2 = jnp.nanmax(jnp.where(jnp.isfinite(polys[..., 0]), d2, -jnp.inf),
+                             axis=1)
+        dist2 = jnp.sum((pts - center[:, None, :]) ** 2, axis=-1)
+        inside = dist2 <= radius2[:, None]
+    else:
+        inside = points_in_polygons(pts, _close_rings(polys))
+
+    vals = bilinear_sample_raster(raster, affine, pts)        # (N, M)
+    ok = inside & jnp.isfinite(vals)
+    count = jnp.sum(ok, axis=1)
+    safe = jnp.where(ok, vals, 0.0)
+    s = jnp.sum(safe, axis=1)
+    mean = jnp.where(count > 0, s / jnp.maximum(count, 1), -1.0)
+    var = jnp.where(
+        count > 0,
+        jnp.sum(jnp.where(ok, (vals - mean[:, None]) ** 2, 0.0), axis=1)
+        / jnp.maximum(count, 1),
+        -1.0)
+    neg = jnp.where(ok, vals, -jnp.inf)
+    mx = jnp.max(neg, axis=1)
+    argmax = jnp.argmax(neg, axis=1)
+    mx = jnp.where(count > 0, mx, -1.0)
+    mn = jnp.where(count > 0, jnp.min(jnp.where(ok, vals, jnp.inf), axis=1), -1.0)
+    argmax_xy = jnp.take_along_axis(pts, argmax[:, None, None], axis=1)[:, 0, :]
+    return PolygonStats(max=mx, min=mn, mean=mean, var=var,
+                        argmax_xy=argmax_xy, count=count)
+
+
+def polygon_areas_batch(polys: jnp.ndarray) -> jnp.ndarray:
+    """Shoelace areas of NaN-padded rings (N, P, 2) -> (N,)."""
+    closed = _close_rings(polys)
+    x = closed[..., 0]
+    y = closed[..., 1]
+    xn = jnp.roll(x, -1, axis=1)
+    yn = jnp.roll(y, -1, axis=1)
+    term = x * yn - xn * y
+    term = jnp.where(jnp.isfinite(term), term, 0.0)
+    return jnp.abs(jnp.sum(term, axis=1)) / 2.0
+
+
+def polygon_centroids_batch(polys: jnp.ndarray) -> jnp.ndarray:
+    """NaN-aware vertex centroids (N, 2) — matches the reference's centroid
+    definition (mean of vertices, ``utilities.py:163-180``)."""
+    return jnp.stack([jnp.nanmean(polys[..., 0], axis=1),
+                      jnp.nanmean(polys[..., 1], axis=1)], axis=-1)

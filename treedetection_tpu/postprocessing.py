@@ -1,0 +1,445 @@
+"""Stage 3 — crown filtering: confidence, area, height, NDVI, dedupe,
+containment, property enrichment.
+
+The scientific core of the pipeline, with the same decision rules as the
+reference (reference ``postprocessing.py:722-809`` pipeline order; gates at
+``postprocessing.py:574-667``) but vectorized TPU-first:
+
+* polygon raster stats run as ONE batched jit (``ops.stats``) instead of a
+  Python loop of per-polygon CuPy calls (reference ``postprocessing.py:281-343``)
+* the stats use exact point-in-polygon sampling, fixing the reference's
+  bounding-circle approximation (``utilities.py:78-98``); pass
+  ``compat_circle=True`` for output parity with the reference
+* bbox IoU/area dedupe and the containment matrix are single jnp broadcasts
+  (reference ``postprocessing.py:349-476``)
+
+Output schema parity: ``processed_<name>.gpkg`` with Confidence_score,
+poly_id, Area, TreeHeight, Centroid, Diameter, is_contained, num_contained
+(reference ``postprocessing.py:904-919``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from treedetection_tpu.geo import Affine, GeoTiff
+from treedetection_tpu.ops.boxes import box_iou_matrix, pairwise_intersection_over_area
+from treedetection_tpu.ops.image import ndvi_from_rgbi
+from treedetection_tpu.ops.stats import (
+    polygon_areas_batch, polygon_centroids_batch, polygon_raster_stats_batch)
+from treedetection_tpu.recoveries import (
+    load_postprocess_recovery_data, postprocess_params,
+    save_postprocess_recovery_data)
+from treedetection_tpu.vector import read_gpkg, simplify_polygon, write_gpkg
+from treedetection_tpu.vector.polygon import PolygonSet, ensure_open
+
+AREA_UPPER_BOUND = 1000.0  # m^2; reference postprocessing.py:765-767
+
+
+# --- dedupe ----------------------------------------------------------------
+
+def filter_by_iou_and_area(bounds: np.ndarray, areas: np.ndarray,
+                           scores: np.ndarray, iou_threshold: float,
+                           area_threshold: float = 0.3) -> np.ndarray:
+    """Greedy group-dedupe keep-mask (reference ``postprocessing.py:349-406``):
+    polygons whose bbox IoU exceeds the threshold AND whose relative area
+    difference is below ``area_threshold`` form a group; only the
+    highest-confidence member survives.  Matrices on device, greedy scan on
+    host (identical semantics to the reference's loop)."""
+    n = len(bounds)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    iou = np.asarray(box_iou_matrix(jnp.asarray(bounds, dtype=jnp.float32),
+                                    jnp.asarray(bounds, dtype=jnp.float32)))
+    a = areas[:, None]
+    rel = np.abs(a - areas[None, :]) / np.maximum(a, areas[None, :])
+    mask = (iou > iou_threshold) & (rel < area_threshold)
+    remove = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if remove[i]:
+            continue
+        connected = np.where(mask[i])[0]
+        connected = np.append(connected, i)
+        best = connected[np.argmax(scores[connected])]
+        for j in connected:
+            if j != best:
+                remove[j] = True
+    return ~remove
+
+
+# --- containment -------------------------------------------------------------
+
+def containment_matrix(bounds: np.ndarray, threshold: float
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (is_contained_in_someone (N,), num_contained (N,), max_ratio (N,)).
+
+    ``contains[i, j]`` = intersection(bbox_i, bbox_j) / area(bbox_j) >= t,
+    diagonal off; ``num_contained[i]`` counts how many others i contains
+    (reference ``process_containment_features``, ``postprocessing.py:408-476``).
+    """
+    n = len(bounds)
+    if n == 0:
+        z = np.zeros(0)
+        return z.astype(bool), z.astype(int), z
+    b = jnp.asarray(bounds, dtype=jnp.float32)
+    ratios = np.asarray(pairwise_intersection_over_area(b, b)).T  # [i,j]: inter/area_j
+    contains = ratios >= threshold
+    np.fill_diagonal(contains, False)
+    num_contained = contains.sum(axis=1)
+    is_contained = contains.any(axis=0)
+    max_ratio = ratios.max(axis=0)
+    return is_contained, num_contained, max_ratio
+
+
+def apply_containment_rules(num_contained: np.ndarray, is_contained: np.ndarray,
+                            mean_ndvi: np.ndarray, var_ndvi: np.ndarray,
+                            areas: np.ndarray, contains: Optional[np.ndarray] = None,
+                            bounds: Optional[np.ndarray] = None,
+                            threshold: float = 0.9) -> np.ndarray:
+    """Containment case analysis -> keep mask.
+
+    Decision rules (reference ``postprocessing.py:636-667``; its literal code
+    mixes indices, so this is the documented intent):
+    * contains >= 3 others: cluster blob, drop
+    * contains exactly 2: drop when mutually contained in one of them
+    * contains exactly 1: keep the better of the pair — lower NDVI variance
+      when mean NDVI differs by > 0.05, else larger area
+    * contains 0: keep
+    """
+    n = len(num_contained)
+    keep = np.ones(n, dtype=bool)
+    if contains is None:
+        if bounds is None:
+            raise ValueError("need contains matrix or bounds")
+        b = jnp.asarray(bounds, dtype=jnp.float32)
+        ratios = np.asarray(pairwise_intersection_over_area(b, b)).T
+        contains = ratios >= threshold
+        np.fill_diagonal(contains, False)
+    for i in range(n):
+        nc = num_contained[i]
+        if nc >= 3:
+            keep[i] = False
+        elif nc == 2:
+            inner = np.where(contains[i])[0]
+            if any(contains[j, i] for j in inner):
+                keep[i] = False
+        elif nc == 1:
+            j = int(np.where(contains[i])[0][0])
+            if abs(mean_ndvi[i] - mean_ndvi[j]) > 0.05:
+                if var_ndvi[i] >= var_ndvi[j]:
+                    keep[i] = False
+            elif areas[i] <= areas[j]:
+                keep[i] = False
+    return keep
+
+
+# --- border / overlap-strip exclusion ---------------------------------------
+
+def border_overlap_exclusion(bounds: np.ndarray,
+                             raster_bounds: Tuple[float, float, float, float],
+                             config: Dict[str, Any],
+                             is_merged_strip: bool,
+                             eps: float = 1.0) -> np.ndarray:
+    """Keep-mask dropping crowns near the raster border and, for non-strip
+    images, crowns entirely inside the overlap-interior band that the merged
+    strips re-predict (reference ``postprocessing.py:574-607``)."""
+    n = len(bounds)
+    keep = np.ones(n, dtype=bool)
+    if n == 0 or not config.get("use_overlap", True):
+        return keep
+    left, bottom, right, top = raster_bounds
+    near_border = ((bounds[:, 0] - left < eps) | (right - bounds[:, 2] < eps) |
+                   (bounds[:, 1] - bottom < eps) | (top - bounds[:, 3] < eps))
+    keep &= ~near_border
+    if not is_merged_strip:
+        half_w = ((config["tile_width"] + 2 * config["buffer"])
+                  * config["overlapping_tiles_width"]) / 2.0
+        half_h = ((config["tile_height"] + 2 * config["buffer"])
+                  * config["overlapping_tiles_height"]) / 2.0
+        inside_left = bounds[:, 2] < left + half_w
+        inside_right = bounds[:, 0] > right - half_w
+        inside_bottom = bounds[:, 3] < bottom + half_h
+        inside_top = bounds[:, 1] > top - half_h
+        keep &= ~(inside_left | inside_right | inside_bottom | inside_top)
+    return keep
+
+
+# --- main per-file pipeline ---------------------------------------------------
+
+def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
+                   config: Dict[str, Any],
+                   height_raster: Optional[np.ndarray],
+                   height_affine: Optional[Affine],
+                   ndvi_raster: Optional[np.ndarray],
+                   ndvi_affine: Optional[Affine],
+                   raster_bounds: Optional[Tuple[float, float, float, float]],
+                   is_merged_strip: bool = False,
+                   compat_circle: bool = False
+                   ) -> Tuple[List[np.ndarray], List[Dict[str, Any]]]:
+    """Full crown-filter pipeline on already-loaded data; returns
+    (kept geometries, property dicts)."""
+    if not crowns:
+        return [], []
+
+    scores = np.asarray(scores, dtype=np.float32)
+    conf = float(config.get("confidence_threshold", 0.3))
+    keep0 = scores >= conf
+    crowns = [c for c, k in zip(crowns, keep0) if k]
+    scores = scores[keep0]
+    if not crowns:
+        return [], []
+
+    # simplify tolerance 2 m (reference postprocessing.py:746-754)
+    crowns = [simplify_polygon(c, 2.0) for c in crowns]
+    crowns = [ensure_open(c) for c in crowns]
+    nonempty = [len(c) >= 3 for c in crowns]
+    crowns = [c for c, k in zip(crowns, nonempty) if k]
+    scores = scores[np.asarray(nonempty, dtype=bool)]
+    if not crowns:
+        return [], []
+
+    max_pts = max(len(c) for c in crowns) + 1  # +1 NaN slot for ring closing
+    ps = PolygonSet.from_list(crowns, max_points=max_pts, dtype=np.float32)
+    polys_j = jnp.asarray(ps.coords)
+    areas = np.asarray(polygon_areas_batch(polys_j))
+    bounds = ps.bounds()
+    centroids = np.asarray(polygon_centroids_batch(polys_j))
+
+    area_lo = float(config.get("area_threshold", 1))
+    keep = (areas >= area_lo) & (areas <= AREA_UPPER_BOUND)
+
+    # bbox IoU/area dedupe
+    keep_idx = np.where(keep)[0]
+    if len(keep_idx):
+        dk = filter_by_iou_and_area(
+            bounds[keep_idx], areas[keep_idx], scores[keep_idx],
+            float(config.get("iou_threshold", 0.5)))
+        keep[keep_idx[~dk]] = False
+
+    # raster stats on the surviving set (cheap to run on all; mask later)
+    heights = np.full(len(crowns), -1.0, dtype=np.float32)
+    argmax_xy = np.zeros((len(crowns), 2), dtype=np.float32)
+    mean_ndvi = np.full(len(crowns), -1.0, dtype=np.float32)
+    var_ndvi = np.full(len(crowns), -1.0, dtype=np.float32)
+    if height_raster is not None:
+        st = polygon_raster_stats_batch(
+            polys_j, jnp.asarray(height_raster, dtype=jnp.float32),
+            jnp.asarray(list(height_affine), dtype=jnp.float32),
+            compat_circle=compat_circle)
+        heights = np.asarray(st.max)
+        argmax_xy = np.asarray(st.argmax_xy)
+    if ndvi_raster is not None:
+        st = polygon_raster_stats_batch(
+            polys_j, jnp.asarray(ndvi_raster, dtype=jnp.float32),
+            jnp.asarray(list(ndvi_affine), dtype=jnp.float32),
+            compat_circle=compat_circle)
+        mean_ndvi = np.asarray(st.mean)
+        var_ndvi = np.asarray(st.var)
+
+    # border/overlap exclusion
+    if raster_bounds is not None:
+        keep &= border_overlap_exclusion(bounds, raster_bounds, config,
+                                         is_merged_strip)
+
+    # height gate (-1 = no data passes; reference postprocessing.py:609-610)
+    h_thr = float(config.get("height_threshold", 3))
+    keep &= ~((heights < h_thr) & (heights > -1.0))
+    # NDVI gates (reference postprocessing.py:612-613)
+    m_thr = float(config.get("ndvi_mean_threshold", 0.1))
+    v_thr = float(config.get("ndvi_var_threshold", 0.1))
+    keep &= ~(((mean_ndvi < m_thr) | (var_ndvi > v_thr)) & (mean_ndvi > -1.0))
+
+    # containment on the survivors
+    idx = np.where(keep)[0]
+    if len(idx) == 0:
+        return [], []
+    c_thr = float(config.get("containment_threshold", 0.9))
+    is_contained, num_contained, _ = containment_matrix(bounds[idx], c_thr)
+    b = jnp.asarray(bounds[idx], dtype=jnp.float32)
+    ratios = np.asarray(pairwise_intersection_over_area(b, b)).T
+    contains = ratios >= c_thr
+    np.fill_diagonal(contains, False)
+    ckeep = apply_containment_rules(
+        num_contained, is_contained, mean_ndvi[idx], var_ndvi[idx],
+        areas[idx], contains=contains)
+    final_idx = idx[ckeep]
+
+    out_geoms: List[np.ndarray] = []
+    out_props: List[Dict[str, Any]] = []
+    sub = {int(g): p for p, g in enumerate(idx)}
+    for i in final_idx:
+        j = sub[int(i)]
+        out_geoms.append(np.round(crowns[i], 6))
+        out_props.append({
+            "Confidence_score": float(scores[i]),
+            "poly_id": int(i),
+            "Area": float(areas[i]),
+            "TreeHeight": float(heights[i]),
+            "Centroid": f"{{'x': {float(centroids[i, 0])}, 'y': {float(centroids[i, 1])}}}",
+            "Diameter": float(2.0 * np.sqrt(max(areas[i], 0) / np.pi)),
+            "is_contained": bool(is_contained[j]),
+            "num_contained": int(num_contained[j]),
+        })
+    return out_geoms, out_props
+
+
+def load_rasters_for_file(height_path: Optional[str], rgbi_path: Optional[str],
+                          config: Dict[str, Any]
+                          ) -> Tuple[Optional[np.ndarray], Optional[Affine],
+                                     Optional[np.ndarray], Optional[Affine],
+                                     Optional[Tuple[float, float, float, float]]]:
+    """Read the nDSM (scaled by height_scaling_factor) and the RGBI -> NDVI
+    raster (scaled by ndvi_scaling_factor) with rescaled transforms (reference
+    ``postprocessing.py:780-800``)."""
+    height_raster = height_affine = None
+    ndvi_raster = ndvi_affine = None
+    raster_bounds = None
+    hs = float(config.get("height_scaling_factor", 1.0))
+    ns = float(config.get("ndvi_scaling_factor", 0.2))
+    if height_path and os.path.exists(height_path):
+        g = GeoTiff(height_path)
+        arr = g.read()[:, :, 0].astype(np.float32)
+        if g.nodata is not None:
+            arr = np.where(arr == g.nodata, np.nan, arr)
+        if hs != 1.0:
+            arr, height_affine = _downscale(arr, g.transform, hs)
+        else:
+            height_affine = g.transform
+        height_raster = arr
+        raster_bounds = g.bounds
+        g.close()
+    if rgbi_path and os.path.exists(rgbi_path):
+        g = GeoTiff(rgbi_path)
+        rgbi = g.read().astype(np.float32)
+        if rgbi.shape[2] >= 4:
+            ndvi = np.asarray(ndvi_from_rgbi(jnp.asarray(rgbi)))
+            if ns != 1.0:
+                ndvi, ndvi_affine = _downscale(ndvi, g.transform, ns)
+            else:
+                ndvi_affine = g.transform
+            ndvi_raster = ndvi
+        raster_bounds = raster_bounds or g.bounds
+        g.close()
+    return height_raster, height_affine, ndvi_raster, ndvi_affine, raster_bounds
+
+
+def _downscale(arr: np.ndarray, transform: Affine, factor: float
+               ) -> Tuple[np.ndarray, Affine]:
+    """Resample by ``factor`` (<1 shrinks) with bilinear sampling and a
+    correspondingly rescaled transform."""
+    from treedetection_tpu.ops.image import resize_bilinear
+    h, w = arr.shape[:2]
+    nh, nw = max(int(round(h * factor)), 1), max(int(round(w * factor)), 1)
+    out = np.asarray(resize_bilinear(jnp.asarray(arr)[..., None], nh, nw))[..., 0]
+    new_t = Affine(transform.a * w / nw, transform.b, transform.c,
+                   transform.d, transform.e * h / nh, transform.f)
+    return out, new_t
+
+
+# --- directory driver --------------------------------------------------------
+
+def find_matching_file(stem: str, index: Dict[str, str], regexes: Sequence[str]
+                       ) -> Optional[str]:
+    """Match a stitched layer to its raster by concatenated regex groups
+    (reference ``postprocessing.py:995-1017``)."""
+    for rx in regexes:
+        m = re.match(rx, stem + ".tif")
+        if m:
+            key = "".join(m.groups())
+            if key in index:
+                return index[key]
+    return None
+
+
+def build_file_index(paths: Sequence[str], regexes: Sequence[str]) -> Dict[str, str]:
+    index: Dict[str, str] = {}
+    for p in paths:
+        name = os.path.basename(p)
+        for rx in regexes:
+            m = re.match(rx, name)
+            if m:
+                index["".join(m.groups())] = p
+                break
+    return index
+
+
+def process_single_file(gpkg_path: str, config: Dict[str, Any],
+                        height_path: Optional[str], rgbi_path: Optional[str],
+                        out_path: str, is_merged_strip: bool = False) -> int:
+    """Filter one stitched GPKG -> processed GPKG; returns crown count
+    (reference ``process_single_file``, ``postprocessing.py:876-943``)."""
+    geoms, props, srs = read_gpkg(gpkg_path)
+    crowns = []
+    scores = []
+    for g, p in zip(geoms, props):
+        if not g or not g[0]:
+            continue
+        crowns.append(np.asarray(g[0][0], dtype=np.float64))
+        scores.append(float(p.get("Confidence_score", 0.0)))
+    hr, ha, nr, na, rb = load_rasters_for_file(height_path, rgbi_path, config)
+    out_geoms, out_props = process_crowns(
+        crowns, np.asarray(scores, dtype=np.float32), config,
+        hr, ha, nr, na, rb, is_merged_strip=is_merged_strip)
+    write_gpkg(out_path, out_geoms, out_props, srs_id=srs)
+    return len(out_geoms)
+
+
+def process_files_in_directory(config: Dict[str, Any], gpkg_dir: str,
+                               image_paths: Sequence[str],
+                               height_paths: Sequence[str],
+                               out_dir: Optional[str] = None) -> List[str]:
+    """Pair each stitched ``.gpkg`` with its RGBI + nDSM rasters and filter it
+    (reference ``process_files_in_directory``, ``postprocessing.py:945-1076``)."""
+    logger = config.get("logger")
+    out_dir = out_dir or gpkg_dir
+    os.makedirs(out_dir, exist_ok=True)
+    params = postprocess_params(config)
+    done = set(load_postprocess_recovery_data(out_dir, params))
+    completed = list(done)
+
+    img_rx = [config.get("image_regex", r"(\d+)\.tif")]
+    h_rx = [config.get("height_data_regex", r"(\d+)\.tif")]
+    img_merged_rx = config.get("image_merged_regex")
+    h_merged_rx = config.get("height_data_merged_regex")
+    if img_merged_rx:
+        img_rx.append(img_merged_rx)
+    if h_merged_rx:
+        h_rx.append(h_merged_rx)
+    img_index = build_file_index(image_paths, img_rx)
+    h_index = build_file_index(height_paths, h_rx)
+
+    outputs: List[str] = []
+    gpkgs = sorted(p for p in os.listdir(gpkg_dir)
+                   if p.endswith(".gpkg") and not p.startswith("processed_"))
+    for i, name in enumerate(gpkgs):
+        stem = Path(name).stem
+        out_path = os.path.join(out_dir, f"processed_{name}")
+        outputs.append(out_path)
+        if name in done and os.path.exists(out_path):
+            continue
+        rgbi = find_matching_file(stem, img_index, img_rx)
+        height = find_matching_file(stem, h_index, h_rx)
+        merged = bool(img_merged_rx and re.match(img_merged_rx, stem + ".tif"))
+        if height is None and logger:
+            logger.warning(f"No height raster matched for {name}")
+        try:
+            n = process_single_file(os.path.join(gpkg_dir, name), config,
+                                    height, rgbi, out_path,
+                                    is_merged_strip=merged)
+            if logger:
+                logger.info(f"Postprocessed {name}: {n} crowns "
+                            f"({i + 1}/{len(gpkgs)})")
+        except (OSError, ValueError) as exc:  # keep batch alive (ref :941-943)
+            if logger:
+                logger.error(f"Postprocessing failed for {name}: {exc}")
+            continue
+        completed.append(name)
+        save_postprocess_recovery_data(out_dir, params, completed)
+    return outputs
