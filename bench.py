@@ -54,8 +54,8 @@ def main() -> int:
         return model.apply(params, x)
 
     rng = np.random.default_rng(0)
-    tiles = jnp.asarray(rng.integers(0, 255, (batch, size, size, 3))
-                        .astype(np.float32))
+    tiles = jnp.asarray(rng.integers(0, 255, (batch, size, size, 3),
+                                     dtype=np.uint8))
 
     import os
     if os.environ.get("BENCH_DETAIL"):
@@ -83,17 +83,31 @@ def main() -> int:
     jax.block_until_ready(out)
     print(f"bench: first compile+run {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # timed steps (new data each iter to defeat caching)
-    times = []
+    # end-to-end timed stream: uint8 tiles, upload of batch k+1 overlapped
+    # with compute of batch k (async device_put prefetch), outputs fetched —
+    # exactly the Predictor's steady-state pipeline
+    host_batches = [rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)
+                    for _ in range(iters)]
+    staged = jnp.asarray(host_batches[0])
+    compute_times = []
+    for i in range(3):
+        t0 = time.time()
+        jax.device_get(forward(staged))
+        compute_times.append(time.time() - t0)
+    print(f"bench: compute-only (pre-staged input) "
+          f"{np.median(compute_times) * 1e3:.1f}ms/batch", file=sys.stderr)
+
+    t_stream0 = time.time()
+    next_buf = jax.device_put(host_batches[0])
     host_out = None
     for i in range(iters):
-        data = jnp.asarray(rng.integers(0, 255, (batch, size, size, 3))
-                           .astype(np.float32))
-        t0 = time.time()
-        out = forward(data)
-        host_out = jax.device_get(out)  # fetch = the only reliable sync here
-        times.append(time.time() - t0)
-    device_time = float(np.median(times))
+        cur = next_buf
+        if i + 1 < iters:
+            next_buf = jax.device_put(host_batches[i + 1])  # async prefetch
+        out = forward(cur)
+        host_out = jax.device_get(out)
+    stream_time = time.time() - t_stream0
+    device_time = stream_time / iters
 
     # host polygonization cost for the real detections of the last batch
     t0 = time.time()
@@ -105,9 +119,10 @@ def main() -> int:
             box = np.asarray(host_out.boxes[b, d])
             bw = max(int(box[2] - box[0]), 1)
             bh = max(int(box[3] - box[1]), 1)
-            m = _resize_mask_np(np.asarray(host_out.masks[b, d]),
+            m = _resize_mask_np(np.asarray(host_out.masks[b, d],
+                                           dtype=np.float32),
                                 min(bh, 512), min(bw, 512))
-            n_polys += len(trace_contours((m > 0.5).astype(np.uint8)))
+            n_polys += len(trace_contours((m > 127.5).astype(np.uint8)))
     host_time = time.time() - t0
 
     total = device_time + host_time

@@ -53,7 +53,8 @@ class ModelOutput(NamedTuple):
     scores: jnp.ndarray     # (B, D)
     classes: jnp.ndarray    # (B, D)
     valid: jnp.ndarray      # (B, D) bool
-    masks: jnp.ndarray      # (B, D, 28, 28) sigmoid probabilities
+    masks: jnp.ndarray      # (B, D, 28, 28) uint8 sigmoid probability * 255
+                            # (quantized on device: 4x less device->host fetch)
 
 
 class MaskRCNN(nn.Module):
@@ -82,8 +83,11 @@ class MaskRCNN(nn.Module):
             props = generate_proposals(
                 lg_img, dl_img, self._anchors, c.input_size,
                 c.rpn_pre_nms_topk, c.rpn_post_nms_topk, c.rpn_nms_threshold)
+            # ROIAlign gathers run in the compute dtype (bf16 on TPU): halves
+            # the gather traffic; the interpolation error is far below the
+            # mask threshold granularity.
             pooled = multilevel_roi_align(
-                [f.astype(jnp.float32) for f in f_img[:4]], props.boxes,
+                [f.astype(c.dtype) for f in f_img[:4]], props.boxes,
                 c.box_pool, FPN_STRIDES[:4])
             cls_logits, box_deltas = self.box_head(pooled.astype(c.dtype))
             det = box_inference(
@@ -91,10 +95,11 @@ class MaskRCNN(nn.Module):
                 c.input_size, c.score_threshold, c.nms_threshold,
                 c.max_detections)
             mask_pooled = multilevel_roi_align(
-                [f.astype(jnp.float32) for f in f_img[:4]], det.boxes,
+                [f.astype(c.dtype) for f in f_img[:4]], det.boxes,
                 c.mask_pool, FPN_STRIDES[:4])
             mask_logits = self.mask_head(mask_pooled.astype(c.dtype))
-            masks = jax.nn.sigmoid(mask_logits[..., 0])     # (D, 28, 28)
+            probs = jax.nn.sigmoid(mask_logits[..., 0])     # (D, 28, 28)
+            masks = jnp.round(probs * 255.0).astype(jnp.uint8)
             return det, masks
 
         # vmap over the batch: per-level features/outputs become leading-batch

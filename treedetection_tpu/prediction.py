@@ -107,9 +107,11 @@ class Predictor:
         # weights and pre-lays-out kernels once at compile time.  (On the
         # axon remote backend this is also the difference between full MXU
         # throughput and a ~1000x argument-streaming penalty.)
+        # Input arrives as uint8 — 4x less host->device traffic than fp32;
+        # the cast/normalize runs on device fused into the stem conv's reads.
         @jax.jit
         def _forward(raw_tiles):
-            # raw_tiles: (B, P, P, C>=3) float32 (uint8 range)
+            # raw_tiles: (B, P, P, 3) uint8
             x = normalize_bgr(raw_tiles)
             x = resize_bilinear(x, size, size)
             return model.apply(params, x)
@@ -170,16 +172,16 @@ class Predictor:
             h, w = arr.shape[:2]
             if arr.shape[2] < 3:
                 arr = np.repeat(arr[:, :, :1], 3, axis=2)
-            if arr.dtype == np.uint16:
-                arr = (arr.astype(np.float32) / 257.0)
-            tile = np.zeros((pad, pad, 3), dtype=np.float32)
-            tile[:h, :w] = arr[:, :, :3].astype(np.float32)
+            if arr.dtype == np.uint16:  # 16->8-bit (reference prediction.py:167)
+                arr = (arr.astype(np.float32) / 257.0).astype(np.uint8)
+            tile = np.zeros((pad, pad, 3), dtype=np.uint8)
+            tile[:h, :w] = arr[:, :, :3].astype(np.uint8)
             batch_items.append(it)
             batch_arrays.append(tile)
             sizes.append((h, w))
             if len(batch_items) == bs or idx == n - 1:
                 while len(batch_arrays) < bs:  # static batch shape
-                    batch_arrays.append(np.zeros((pad, pad, 3), dtype=np.float32))
+                    batch_arrays.append(np.zeros((pad, pad, 3), dtype=np.uint8))
                 batch = jnp.asarray(np.stack(batch_arrays))
                 device_out = self._forward(self.params, batch)
                 # overlap: finalize previous batch while this one runs
@@ -220,7 +222,7 @@ class Predictor:
             if ox >= w or oy >= h:
                 continue
             m = _resize_mask_np(np.asarray(masks[d], dtype=np.float32), bh, bw)
-            binary = (m > 0.5).astype(np.uint8)
+            binary = (m > 127.5).astype(np.uint8)  # masks arrive uint8 (x255)
             if binary.sum() == 0:
                 continue
             for ring in trace_contours(binary):
