@@ -60,9 +60,18 @@ def stitch_tile_file(pred_file: str, simplify_tolerance: float,
     scores: List[float] = []
     for crown in data:
         coords = crown.get("polygon_coords")
-        if not coords:
+        if coords:
+            ring = np.asarray(coords[0], dtype=np.float64).reshape(-1, 2)
+        elif "segmentation" in crown:
+            # RLE fallback for detectree2-format prediction files
+            # (reference helpers.py:443-457)
+            from treedetection_tpu.compat import polygon_from_mask, rle_decode
+            flat = polygon_from_mask(rle_decode(crown["segmentation"]))
+            if not flat:
+                continue
+            ring = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+        else:
             continue
-        ring = np.asarray(coords[0], dtype=np.float64).reshape(-1, 2)
         if len(ring) < 4:
             continue
         if simplify_tolerance > 0:
