@@ -129,5 +129,11 @@ def create_model(cfg: Optional[MaskRCNNConfig] = None,
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         dummy = jnp.zeros((1, 128, 128, 3), dtype=jnp.float32)
-        params = jax.jit(init_model.init, backend="cpu")(rng, dummy)
+        # backend="cpu" is deprecated but the ONLY pinning the axon backend
+        # honors (jax.default_device alone still routes jit through the remote
+        # compiler, costing minutes).
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            params = jax.jit(init_model.init, backend="cpu")(rng, dummy)
     return model, params

@@ -114,12 +114,11 @@ class FPN(nn.Module):
                     name=f"lateral{i + 2}")(c)
             for i, c in enumerate(inputs)
         ]
-        # top-down pathway
+        # top-down pathway: nearest x2 upsample == exact repeat (cheaper and
+        # more robust than gather-based image resize on TPU backends)
         for i in range(len(laterals) - 2, -1, -1):
             up = laterals[i + 1]
-            up = jax.image.resize(
-                up, (up.shape[0], up.shape[1] * 2, up.shape[2] * 2, up.shape[3]),
-                method="nearest")
+            up = jnp.repeat(jnp.repeat(up, 2, axis=1), 2, axis=2)
             laterals[i] = laterals[i] + up
         outs = [
             nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,

@@ -16,16 +16,42 @@ import jax
 import jax.numpy as jnp
 
 
+def _interp_matrix(out_size: int, in_size: int) -> jnp.ndarray:
+    """(out, in) bilinear interpolation matrix, half-pixel centers
+    (align_corners=False).  Built with numpy at trace time (static shapes)."""
+    import numpy as np
+    src = (np.arange(out_size) + 0.5) * in_size / out_size - 0.5
+    i0 = np.clip(np.floor(src).astype(int), 0, in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    frac = np.clip(src - i0, 0.0, 1.0)
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, i0), 1.0 - frac)
+    np.add.at(m, (rows, i1), frac)
+    return jnp.asarray(m)
+
+
 def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Bilinear resize (align_corners=False, half-pixel centers) of an HWC or
     NHWC array — matches cv2/torch ``interpolate(..., mode='bilinear')`` used
     for the detectron2 resize transform and mask upsampling
-    (reference ``prediction.py:222-227``)."""
+    (reference ``prediction.py:222-227``).
+
+    Implemented as two separable matmuls with static interpolation matrices:
+    this puts the resize on the MXU (fast, and avoids gather-based resize
+    lowerings that have proven fragile on remote TPU backends).
+    """
     batched = img.ndim == 4
     x = img if batched else img[None]
-    out = jax.image.resize(
-        x, (x.shape[0], out_h, out_w, x.shape[3]), method="bilinear")
-    return out if batched else out[0]
+    if x.shape[1] == out_h and x.shape[2] == out_w:
+        return img
+    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    rh = _interp_matrix(out_h, x.shape[1]).astype(dtype)
+    rw = _interp_matrix(out_w, x.shape[2]).astype(dtype)
+    y = jnp.einsum("oh,bhwc->bowc", rh, x.astype(dtype),
+                   preferred_element_type=dtype)
+    y = jnp.einsum("pw,bhwc->bhpc", rw, y, preferred_element_type=dtype)
+    return y if batched else y[0]
 
 
 def ndvi_from_rgbi(rgbi: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
