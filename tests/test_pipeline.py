@@ -252,3 +252,5 @@ class TestEndToEnd:
         assert processed.exists()
         geoms, props, srs = read_gpkg(str(processed))
         assert srs == 25832
+        # process_files must RETURN the final layer paths
+        assert outputs == [str(processed)]
