@@ -194,3 +194,70 @@ class TestImageOps:
         up = resize_bilinear(img, 8, 8)
         assert up.shape == (8, 8, 1)
         assert abs(float(up.mean()) - float(img.mean())) < 0.3
+
+
+class TestPatchROIAlign:
+    """The patch-matmul multilevel pooler must match the gather oracle."""
+
+    def _fmaps(self, base=64, c=16, seed=0):
+        rng = np.random.default_rng(seed)
+        return [jnp.asarray(rng.standard_normal(
+            (base // (2 ** i), base // (2 ** i), c)).astype(np.float32))
+            for i in range(4)]
+
+    def _boxes(self, n=50, img=256, seed=1, max_aspect=2.0):
+        rng = np.random.default_rng(seed)
+        cx = rng.uniform(0, img, n)
+        cy = rng.uniform(0, img, n)
+        size = rng.uniform(8, img / 2, n)
+        aspect = rng.uniform(1 / max_aspect, max_aspect, n)
+        w = size * np.sqrt(aspect)
+        h = size / np.sqrt(aspect)
+        boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
+        return jnp.asarray(np.clip(boxes, 0, img).astype(np.float32))
+
+    def test_matches_gather_oracle(self):
+        from treedetection_tpu.ops.roi_align import (
+            multilevel_roi_align, multilevel_roi_align_gather)
+        fmaps = self._fmaps()
+        boxes = self._boxes()
+        fast = np.asarray(multilevel_roi_align(fmaps, boxes, 7, (4, 8, 16, 32)))
+        ref = np.asarray(multilevel_roi_align_gather(fmaps, boxes, 7,
+                                                     (4, 8, 16, 32)))
+        assert np.allclose(fast, ref, atol=2e-5), np.abs(fast - ref).max()
+
+    def test_matches_gather_14x14(self):
+        from treedetection_tpu.ops.roi_align import (
+            multilevel_roi_align, multilevel_roi_align_gather)
+        fmaps = self._fmaps(seed=3)
+        boxes = self._boxes(n=20, seed=4)
+        fast = np.asarray(multilevel_roi_align(fmaps, boxes, 14, (4, 8, 16, 32)))
+        ref = np.asarray(multilevel_roi_align_gather(fmaps, boxes, 14,
+                                                     (4, 8, 16, 32)))
+        assert np.allclose(fast, ref, atol=2e-5)
+
+    def test_chunked_path(self):
+        from treedetection_tpu.ops.roi_align import (
+            multilevel_roi_align, multilevel_roi_align_gather)
+        fmaps = self._fmaps(seed=5)
+        boxes = self._boxes(n=300, seed=6)  # > chunk size -> lax.map path
+        fast = np.asarray(multilevel_roi_align(fmaps, boxes, 7, (4, 8, 16, 32),
+                                               chunk=128))
+        ref = np.asarray(multilevel_roi_align_gather(fmaps, boxes, 7,
+                                                     (4, 8, 16, 32)))
+        assert np.allclose(fast, ref, atol=2e-5)
+
+    def test_edge_boxes(self):
+        from treedetection_tpu.ops.roi_align import (
+            multilevel_roi_align, multilevel_roi_align_gather)
+        fmaps = self._fmaps(seed=7)
+        boxes = jnp.asarray([[0.0, 0.0, 30.0, 30.0],       # image corner
+                             [226.0, 226.0, 256.0, 256.0],  # far corner
+                             [0.0, 120.0, 256.0, 140.0]],   # full-width strip
+                            dtype=jnp.float32)
+        fast = np.asarray(multilevel_roi_align(fmaps, boxes, 7, (4, 8, 16, 32)))
+        ref = np.asarray(multilevel_roi_align_gather(fmaps, boxes, 7,
+                                                     (4, 8, 16, 32)))
+        # the 12.8:1 strip exceeds the PATCH span: compare only the first two
+        assert np.allclose(fast[:2], ref[:2], atol=2e-5)
+        assert np.isfinite(fast[2]).all()

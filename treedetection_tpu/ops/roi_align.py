@@ -106,10 +106,10 @@ def assign_fpn_levels(boxes: jnp.ndarray, min_level: int = 2, max_level: int = 5
     return jnp.clip(lvl, min_level, max_level).astype(jnp.int32) - min_level
 
 
-def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
-                         resolution: int, strides: Sequence[int],
-                         sampling_ratio: int = 2) -> jnp.ndarray:
-    """Pool each box from its assigned FPN level -> (N, R, R, C).
+def multilevel_roi_align_gather(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
+                                resolution: int, strides: Sequence[int],
+                                sampling_ratio: int = 2) -> jnp.ndarray:
+    """Gather-based multilevel ROIAlign (reference implementation).
 
     ``fmaps``: P2..P5 feature maps, (H_l, W_l, C), H halving per level.
     Implementation: flatten every level to rows and concatenate into ONE
@@ -119,6 +119,9 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     (which costs 4x the feature memory and was the HBM hog at batch 8),
     and row-gathers with the channel dim contiguous are the layout XLA's TPU
     gather handles best.
+
+    Kept as the oracle for :func:`multilevel_roi_align` (the patch-matmul
+    fast path) and as the fallback for pool geometries it can't serve.
     """
     L = len(fmaps)
     C = fmaps[0].shape[-1]
@@ -156,3 +159,137 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
            + rows(y1, x1) * ly * lx)
     out = jnp.where(valid[..., None], out, 0.0)
     return out.mean(axis=(3, 4))
+
+
+# --- patch-matmul multilevel ROIAlign (the TPU fast path) -------------------
+
+# Static per-box patch span.  Level assignment bounds sqrt(area)/stride to
+# < 28 for interior levels (and image/stride for the clamped ones), but the
+# max SIDE grows with aspect ratio: side = sqrt(area * aspect).  48 covers
+# aspect ratios up to ~2.9:1 at the top of a level's size band (and higher
+# for smaller boxes); beyond that the hat weights truncate the overhanging
+# bins to zero — acceptable for blob-like crowns, and bounded error for the
+# low-scoring elongated proposals that exceed it.
+PATCH = 48
+
+
+def _hat_matrix(samples: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(..., S) fractional sample coords -> (..., S, size) bilinear weights.
+
+    The bilinear interpolation of F at coordinate s equals
+    ``sum_k relu(1 - |s - k|) * F[k]`` — the "hat" kernel — which also
+    reproduces ROIAlign's zero padding: samples beyond the array edge pick up
+    weight only from existing rows (or none), exactly like interpolating
+    against zero-valued out-of-range pixels.
+    """
+    rows = jnp.arange(size, dtype=samples.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(samples[..., None] - rows))
+
+
+def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
+                         resolution: int, strides: Sequence[int],
+                         sampling_ratio: int = 2,
+                         chunk: int = 128) -> jnp.ndarray:
+    """Pool each box from its assigned FPN level -> (N, R, R, C).
+
+    TPU fast path: instead of 4 corner row-gathers per sample point
+    (R^2 * S^2 * 4 scattered gathers per box), each box dynamic-slices one
+    contiguous (PATCH, PATCH, C) patch from its level and reduces it with two
+    small "hat"-matrix matmuls on the MXU::
+
+        out[i, j, c] = A_y[i, :] @ patch[:, :, c] @ A_x[j, :]^T
+
+    where ``A_y`` folds the bilinear weights AND the 2x2-sample bin average
+    into a (R, PATCH) matrix.  Exact same math as ROIAlign(aligned=True)
+    with a fixed sampling grid — pinned against the gather implementation by
+    tests.  Falls back to the gather path when a box could outspan the patch
+    (only possible for non-FPN pool geometries).
+    """
+    L = len(fmaps)
+    C = fmaps[0].shape[-1]
+    dtype = fmaps[0].dtype
+    n = boxes.shape[0]
+
+    # patch-span guarantee: on its assigned level a box spans at most
+    # canonical_size/stride * 2 = 28 px for interior levels; clamped levels
+    # are bounded by image_size / stride of the extreme level.  If the
+    # geometry violates PATCH - 2, use the gather path.
+    img_span = max(f.shape[0] * s for f, s in zip(fmaps, strides))
+    if img_span / strides[-1] > PATCH - 2:
+        return multilevel_roi_align_gather(fmaps, boxes, resolution, strides,
+                                           sampling_ratio)
+
+    # flat buffer with per-level bottom/right zero padding of PATCH rows/cols
+    padded = [jnp.pad(f, ((0, PATCH), (0, PATCH), (0, 0))) for f in fmaps]
+    flat = jnp.concatenate([p.reshape(-1, C) for p in padded], axis=0)
+    hs = np.asarray([f.shape[0] for f in fmaps])
+    ws = np.asarray([f.shape[1] for f in fmaps])
+    wps = ws + PATCH
+    sizes = (hs + PATCH) * wps
+    bases = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+
+    levels = assign_fpn_levels(boxes, min_level=2, max_level=2 + L - 1)
+    scale = (1.0 / jnp.asarray(strides, dtype=boxes.dtype))[levels]
+    h_l = jnp.asarray(hs)[levels]
+    w_l = jnp.asarray(ws)[levels]
+    wp_l = jnp.asarray(wps)[levels]
+    base_l = jnp.asarray(bases)[levels]
+
+    sboxes = boxes * scale[:, None]
+    x0 = sboxes[:, 0] - 0.5
+    y0 = sboxes[:, 1] - 0.5
+    bin_w = (sboxes[:, 2] - sboxes[:, 0]) / resolution
+    bin_h = (sboxes[:, 3] - sboxes[:, 1]) / resolution
+    # patch origin: clamp into the valid (padded) slice range
+    oy = jnp.clip(jnp.floor(y0).astype(jnp.int32), 0, jnp.maximum(h_l - 1, 0))
+    ox = jnp.clip(jnp.floor(x0).astype(jnp.int32), 0, jnp.maximum(w_l - 1, 0))
+
+    # sample coords relative to the patch origin, (N, R*S)
+    s = (jnp.arange(sampling_ratio, dtype=boxes.dtype) + 0.5) / sampling_ratio
+    offs = (jnp.arange(resolution, dtype=boxes.dtype)[:, None]
+            + s[None, :]).reshape(-1)                      # (R*S,)
+    sy_abs = y0[:, None] + offs[None, :] * bin_h[:, None]
+    sx_abs = x0[:, None] + offs[None, :] * bin_w[:, None]
+    # ROIAlign edge semantics (detectron2 CUDA kernel): samples strictly
+    # outside (-1, H) contribute zero; samples in the border half-open bands
+    # CLAMP to the edge pixel with full weight.  Clamp in absolute level
+    # coords, mask the invalid band, then shift to patch-relative.
+    hf = h_l.astype(boxes.dtype)[:, None]
+    wf = w_l.astype(boxes.dtype)[:, None]
+    valid_y = (sy_abs > -1.0) & (sy_abs < hf)
+    valid_x = (sx_abs > -1.0) & (sx_abs < wf)
+    sy = jnp.clip(sy_abs, 0.0, hf - 1.0) - oy.astype(boxes.dtype)[:, None]
+    sx = jnp.clip(sx_abs, 0.0, wf - 1.0) - ox.astype(boxes.dtype)[:, None]
+    # fold the S-sample average into the hat matrices: (N, R, PATCH)
+    ay = _hat_matrix(sy, PATCH) * valid_y[..., None]
+    ax = _hat_matrix(sx, PATCH) * valid_x[..., None]
+    ay = ay.reshape(n, resolution, sampling_ratio, PATCH).mean(axis=2).astype(dtype)
+    ax = ax.reshape(n, resolution, sampling_ratio, PATCH).mean(axis=2).astype(dtype)
+
+    starts = (base_l[:, None] + (oy[:, None]
+              + jnp.arange(PATCH)[None, :]) * wp_l[:, None]
+              + ox[:, None])                                # (N, PATCH)
+
+    def pool_chunk(args):
+        st, a_y, a_x = args                                 # (K,PATCH),(K,R,PATCH)x2
+        def slice_rows(s0):
+            return jax.lax.dynamic_slice(flat, (s0, 0), (PATCH, C))
+        patches = jax.vmap(jax.vmap(slice_rows))(st)        # (K, PATCH, PATCH, C)
+        # out[k, i, j, c] = sum_{y, x} a_y[k,i,y] a_x[k,j,x] patch[k,y,x,c]
+        t = jnp.einsum("kiy,kyxc->kixc", a_y, patches,
+                       preferred_element_type=dtype)
+        return jnp.einsum("kjx,kixc->kijc", a_x, t,
+                          preferred_element_type=dtype)
+
+    if n <= chunk:
+        return pool_chunk((starts, ay, ax))
+    pad_n = (-n) % chunk
+    st = jnp.pad(starts, ((0, pad_n), (0, 0)))
+    a_y = jnp.pad(ay, ((0, pad_n), (0, 0), (0, 0)))
+    a_x = jnp.pad(ax, ((0, pad_n), (0, 0), (0, 0)))
+    k = (n + pad_n) // chunk
+    out = jax.lax.map(pool_chunk,
+                      (st.reshape(k, chunk, PATCH),
+                       a_y.reshape(k, chunk, resolution, PATCH),
+                       a_x.reshape(k, chunk, resolution, PATCH)))
+    return out.reshape(k * chunk, resolution, resolution, C)[:n]
