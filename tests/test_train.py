@@ -146,3 +146,70 @@ class TestPresets:
         c = partition_files(files, host_id=2, num_hosts=3)
         assert sorted(a + b + c) == sorted(files)
         assert not (set(a) & set(b))
+
+
+class TestTrainingIntegration:
+    def test_full_training_loop_with_data_pipeline(self, tmp_path):
+        """tiles -> shards -> train_model for a few iterations with eval."""
+        from treedetection_tpu.geo import Affine, write_geotiff
+        from treedetection_tpu.vector import write_gpkg
+        from treedetection_tpu.train.data import (
+            ShardDataset, make_training_tiles, write_shards)
+        from treedetection_tpu.train.train import TrainConfig, train_model
+
+        rng = np.random.default_rng(0)
+        t = Affine.from_origin(0.0, 100.0, 0.5, 0.5)
+        img = rng.integers(0, 255, (200, 200, 4), dtype=np.uint8)
+        tif = str(tmp_path / "img.tif")
+        write_geotiff(tif, img, t, crs=25832)
+        sq = lambda x0, y0, s: np.array(
+            [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]], float)
+        write_gpkg(str(tmp_path / "crowns.gpkg"),
+                   [sq(10, 10, 8), sq(30, 60, 10), sq(60, 30, 6)],
+                   [{"Confidence_score": 1.0}] * 3)
+
+        examples = list(make_training_tiles(tif, str(tmp_path / "crowns.gpkg"),
+                                            tile_size_m=50, buffer_m=10,
+                                            input_size=128, max_gt=4))
+        shards = write_shards(iter(examples), str(tmp_path / "shards"),
+                              shard_size=4)
+        ds = ShardDataset(shards, batch_size=2)
+        tc = TrainConfig.from_preset("update", max_iter=3)
+        params, history = train_model(
+            ds, val_dataset=None, model_cfg=TINY, train_cfg=tc)
+        assert len(history["total_loss"]) == 3
+        assert all(np.isfinite(v) for v in history["total_loss"])
+
+    def test_remat_backbone_trains(self):
+        """remat=True must produce identical losses (checkpointing is
+        numerics-neutral) while saving activation memory."""
+        import dataclasses
+        from treedetection_tpu.train import make_train_step
+        from treedetection_tpu.train.train import make_optimizer
+        cfg_r = dataclasses.replace(TINY, remat=True)
+        model_r, params = create_model(cfg_r)
+        model_n = MaskRCNN(TINY)
+        b = jax.tree.map(jnp.asarray, make_batch(b=1, s=128))
+        from treedetection_tpu.train.losses import mask_rcnn_losses
+        rngk = jax.random.PRNGKey(0)
+        t_r, _ = mask_rcnn_losses(model_r, params, b["image"], b["boxes"],
+                                  b["masks"], b["valid"], rngk)
+        t_n, _ = mask_rcnn_losses(model_n, params, b["image"], b["boxes"],
+                                  b["masks"], b["valid"], rngk)
+        assert np.allclose(float(t_r), float(t_n), rtol=1e-5)
+
+
+class TestNdviDebug:
+    def test_writes_tif_and_png(self, tmp_path, rng):
+        from treedetection_tpu.geo import Affine, write_geotiff, GeoTiff
+        from treedetection_tpu.utils.ndvi_debug import write_ndvi_debug
+        rgbi = rng.integers(0, 255, (50, 50, 4), dtype=np.uint8)
+        t = Affine.from_origin(0.0, 50.0, 1.0, 1.0)
+        src = str(tmp_path / "img.tif")
+        write_geotiff(src, rgbi, t, crs=25832)
+        tif, png = write_ndvi_debug(src, str(tmp_path / "dbg"))
+        g = GeoTiff(tif)
+        vals = g.read()[:, :, 0]
+        assert ((-1 <= vals) & (vals <= 1)).all()
+        import os
+        assert os.path.exists(png)

@@ -42,6 +42,7 @@ class MaskRCNNConfig:
     mask_pool: int = 14
     box_pool: int = 7
     bf16: bool = True
+    remat: bool = False  # rematerialize backbone blocks (training memory)
 
     @property
     def dtype(self):
@@ -64,7 +65,8 @@ class MaskRCNN(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.backbone = ResNetFPN(depth=c.depth, dtype=c.dtype, name="backbone")
+        self.backbone = ResNetFPN(depth=c.depth, dtype=c.dtype,
+                                  remat=c.remat, name="backbone")
         self.rpn_head = RPNHead(num_anchors=3, dtype=c.dtype, name="rpn_head")
         self.box_head = BoxHead(num_classes=c.num_classes, dtype=c.dtype,
                                 name="box_head")

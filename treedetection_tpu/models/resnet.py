@@ -80,11 +80,13 @@ class Bottleneck(nn.Module):
 class ResNet(nn.Module):
     depth: int = 101
     dtype: Any = jnp.float32
+    remat: bool = False  # rematerialize bottlenecks (training memory saver)
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
         """-> [C2, C3, C4, C5] feature maps (strides 4, 8, 16, 32)."""
         blocks = STAGE_BLOCKS[self.depth]
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         x = ConvBN(64, kernel=7, stride=2, dtype=self.dtype, name="stem")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         outs = []
@@ -92,8 +94,8 @@ class ResNet(nn.Module):
         for stage, n_blocks in enumerate(blocks):
             stride = 1 if stage == 0 else 2
             for i in range(n_blocks):
-                x = Bottleneck(width, features, stride=stride if i == 0 else 1,
-                               dtype=self.dtype, name=f"res{stage + 2}_{i}")(x)
+                x = block_cls(width, features, stride=stride if i == 0 else 1,
+                              dtype=self.dtype, name=f"res{stage + 2}_{i}")(x)
             outs.append(x)
             width *= 2
             features *= 2
@@ -134,8 +136,10 @@ class ResNetFPN(nn.Module):
     depth: int = 101
     fpn_features: int = 256
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
-        cs = ResNet(self.depth, dtype=self.dtype, name="bottom_up")(x)
+        cs = ResNet(self.depth, dtype=self.dtype, remat=self.remat,
+                    name="bottom_up")(x)
         return FPN(self.fpn_features, dtype=self.dtype, name="fpn")(cs)

@@ -61,10 +61,12 @@ class TrainConfig:
     @classmethod
     def from_preset(cls, name: str, **over) -> "TrainConfig":
         p = PRESETS[name]
-        return cls(preset=name, base_lr=p["base_lr"], max_iter=p["max_iter"],
-                   ims_per_batch=p["ims_per_batch"],
-                   backbone_freeze=p["backbone_freeze"],
-                   eval_period=p["eval_period"], patience=p["patience"], **over)
+        kwargs = dict(preset=name, base_lr=p["base_lr"], max_iter=p["max_iter"],
+                      ims_per_batch=p["ims_per_batch"],
+                      backbone_freeze=p["backbone_freeze"],
+                      eval_period=p["eval_period"], patience=p["patience"])
+        kwargs.update(over)  # explicit overrides win over preset values
+        return cls(**kwargs)
 
 
 class TrainState(dict):
