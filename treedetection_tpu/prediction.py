@@ -155,6 +155,28 @@ class Predictor:
         pending: List[Tuple[List[Dict], Any, List[Tuple[int, int]]]] = []
         written = 0
 
+        def run_batch(batch):
+            """Dispatch with failure detection: a crashed/restarted device
+            worker (observed on remote TPU backends) gets a bounded
+            wait-and-retry instead of killing a county run — the same
+            keep-the-batch-alive philosophy as the reference's per-item
+            try/except (reference ``detection.py:117-120``)."""
+            import time as _time
+            for attempt in range(3):
+                try:
+                    return self._forward(self.params, batch)
+                except Exception as exc:  # jax runtime errors are dynamic types
+                    transient = ("UNAVAILABLE" in str(exc)
+                                 or "INTERNAL" in str(exc))
+                    if attempt == 2 or not transient:
+                        raise
+                    if self.logger:
+                        self.logger.error(
+                            f"Device failure ({exc}); retrying batch in 60s "
+                            f"(attempt {attempt + 1}/3)")
+                    _time.sleep(60)
+                    jax.clear_caches()
+
         def flush(batch_items, device_out, sizes):
             nonlocal written
             out = jax.device_get(device_out)
@@ -183,7 +205,7 @@ class Predictor:
                 while len(batch_arrays) < bs:  # static batch shape
                     batch_arrays.append(np.zeros((pad, pad, 3), dtype=np.uint8))
                 batch = jnp.asarray(np.stack(batch_arrays))
-                device_out = self._forward(self.params, batch)
+                device_out = run_batch(batch)
                 # overlap: finalize previous batch while this one runs
                 if pending:
                     flush(*pending.pop())

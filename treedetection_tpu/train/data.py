@@ -77,6 +77,10 @@ def make_training_tiles(image_path: str, crowns_gpkg: str,
             img = arr[:, :, :3].astype(np.float32)
             if arr.dtype == np.uint16:
                 img = img / 257.0
+            # normalize exactly like the inference path (BGR order, caffe
+            # pixel means) so shards feed the train step directly
+            img = img[:, :, ::-1] - np.asarray([103.53, 116.28, 123.675],
+                                               dtype=np.float32)
             # resize to the static input size on host (training tiles are cut
             # once; the jitted step gets fixed shapes)
             sy, sx = input_size / h, input_size / w

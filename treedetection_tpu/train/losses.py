@@ -70,14 +70,15 @@ def rpn_loss(logits: Sequence[jnp.ndarray], deltas: Sequence[jnp.ndarray],
     neg = labels == 0
     n_pos = jnp.maximum(pos.sum(), 1)
     # normalize like detectron2: by batch_per_image instead of sampling —
-    # statistically equivalent weighting with static shapes
-    obj = jax.nn.sigmoid(all_logits)
-    bce = -(jnp.where(pos, jnp.log(obj + 1e-8), 0.0)
-            + jnp.where(neg, jnp.log(1 - obj + 1e-8), 0.0))
+    # statistically equivalent weighting with static shapes.
+    # BCE in logits space (softplus): log(sigmoid(x)) = -softplus(-x).
+    # The sigmoid+log form overflows under XLA rewriting at |x| ~ 100+.
+    bce_pos = jax.nn.softplus(-all_logits)
+    bce_neg = jax.nn.softplus(all_logits)
     # cap negative dominance: weight negatives so pos:neg ~ 1:1 effective
     w_neg = jnp.minimum(1.0, (n_pos / jnp.maximum(neg.sum(), 1)) * 1.0)
-    objectness = (jnp.where(pos, bce, 0.0).sum()
-                  + w_neg * jnp.where(neg, bce, 0.0).sum()) / batch_per_image
+    objectness = (jnp.where(pos, bce_pos, 0.0).sum()
+                  + w_neg * jnp.where(neg, bce_neg, 0.0).sum()) / batch_per_image
 
     target = encode_deltas(all_anchors, gt.boxes[matched])
     reg = smooth_l1(all_deltas - target).sum(axis=-1)
@@ -127,9 +128,10 @@ def roi_losses(cls_logits: jnp.ndarray, box_deltas: jnp.ndarray,
     mask_targets = jax.vmap(crop_one)(matched_masks, proposals
                                       * (hm / _image_size_hint(proposals, hm)))
     mask_targets = (mask_targets > 0.5).astype(jnp.float32)
-    p = jax.nn.sigmoid(mask_logits)
-    bce = -(mask_targets * jnp.log(p + 1e-8)
-            + (1 - mask_targets) * jnp.log(1 - p + 1e-8))
+    # stable BCE-with-logits: max(l,0) - l*t + log1p(exp(-|l|))
+    l = mask_logits
+    bce = (jnp.maximum(l, 0.0) - l * mask_targets
+           + jnp.log1p(jnp.exp(-jnp.abs(l))))
     mask_loss = (jnp.where(fg[:, None, None], bce, 0.0).sum()
                  / (n_fg * r * r))
     return {"cls": cls_loss, "box_reg": box_loss, "mask": mask_loss}
