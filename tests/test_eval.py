@@ -97,3 +97,28 @@ class TestVoronoiAutolabel:
         write_geotiff(tif, h, Affine.identity(), crs=25832)
         out = str(tmp_path / "labels.gpkg")
         assert generate_voronoi_labels(tif, out) == 0
+
+
+@pytest.mark.slow
+class TestRealSample:
+    def test_voronoi_on_reference_ndsm(self, tmp_path):
+        """Real-world check: the bundled Baden-Wuerttemberg nDSM sample must
+        yield a plausible crown count and valid geometries."""
+        import os
+        src = "/root/reference/data/nDSM/324125317.tif"
+        if not os.path.exists(src):
+            pytest.skip("reference sample not present")
+        from treedetection_tpu.autolabel import generate_voronoi_labels
+        from treedetection_tpu.vector import read_gpkg, polygon_area
+        out = str(tmp_path / "crowns.gpkg")
+        n = generate_voronoi_labels(src, out)
+        # 1 km^2 of partly forested land: hundreds-to-thousands of crowns
+        assert 100 < n < 50000
+        geoms, props, srs = read_gpkg(out)
+        assert srs == 25832
+        areas = [polygon_area(g[0][0]) for g in geoms[:200]]
+        assert all(a > 0 for a in areas)
+        # crowns must lie inside the raster extent
+        ring = np.asarray(geoms[0][0][0])
+        assert 412000 <= ring[:, 0].min() and ring[:, 0].max() <= 413000
+        assert 5317000 <= ring[:, 1].min() and ring[:, 1].max() <= 5318000

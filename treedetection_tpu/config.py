@@ -192,6 +192,10 @@ _DEFAULTS: Tuple[Tuple[str, Any], ...] = (
     ("max_detections", 100),       # static per-tile detection budget
     ("mixed_precision", True),     # bfloat16 conv path
     ("prefetch_batches", 2),       # host->device pipeline depth
+    ("pixel_mean", None),          # BGR mean override (default caffe values)
+    ("pixel_std", None),           # BGR std override; set [57.375, 57.12,
+                                   # 58.395] for checkpoints trained by
+                                   # treedetection_tpu.train (random init)
 )
 
 
@@ -282,6 +286,11 @@ class ModelSpec:
 
 def model_spec(config: Dict[str, Any]) -> ModelSpec:
     """Build the static model spec from the user config."""
+    overrides = {}
+    if config.get("pixel_mean"):
+        overrides["pixel_mean"] = tuple(float(v) for v in config["pixel_mean"])
+    if config.get("pixel_std"):
+        overrides["pixel_std"] = tuple(float(v) for v in config["pixel_std"])
     return ModelSpec(
         depth=int(config.get("model_depth", 101)),
         score_threshold=float(config.get("confidence_threshold_stitching", 0.3)),
@@ -291,4 +300,5 @@ def model_spec(config: Dict[str, Any]) -> ModelSpec:
         post_nms_topk=int(config.get("rpn_post_nms_topk", 1000)),
         max_detections=int(config.get("max_detections", 100)),
         bf16=bool(config.get("mixed_precision", True)),
+        **overrides,
     )

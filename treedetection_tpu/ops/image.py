@@ -67,6 +67,11 @@ def ndvi_from_rgbi(rgbi: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
     return (nir - r) / (nir + r + eps)
 
 
+# BGR std used when training from random init (torchvision convention);
+# converted detectron2-caffe checkpoints use std (1, 1, 1).
+TRAIN_PIXEL_STD_BGR = (57.375, 57.12, 58.395)
+
+
 def normalize_bgr(rgb: jnp.ndarray,
                   pixel_mean: Tuple[float, ...] = (103.53, 116.28, 123.675),
                   pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)) -> jnp.ndarray:

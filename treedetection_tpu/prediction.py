@@ -109,10 +109,12 @@ class Predictor:
         # throughput and a ~1000x argument-streaming penalty.)
         # Input arrives as uint8 — 4x less host->device traffic than fp32;
         # the cast/normalize runs on device fused into the stem conv's reads.
+        pixel_mean, pixel_std = spec.pixel_mean, spec.pixel_std
+
         @jax.jit
         def _forward(raw_tiles):
             # raw_tiles: (B, P, P, 3) uint8
-            x = normalize_bgr(raw_tiles)
+            x = normalize_bgr(raw_tiles, pixel_mean, pixel_std)
             x = resize_bilinear(x, size, size)
             return model.apply(params, x)
 

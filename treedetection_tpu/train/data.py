@@ -78,9 +78,13 @@ def make_training_tiles(image_path: str, crowns_gpkg: str,
             if arr.dtype == np.uint16:
                 img = img / 257.0
             # normalize exactly like the inference path (BGR order, caffe
-            # pixel means) so shards feed the train step directly
-            img = img[:, :, ::-1] - np.asarray([103.53, 116.28, 123.675],
-                                               dtype=np.float32)
+            # pixel means) so shards feed the train step directly; divide by
+            # the torchvision std so random-init training sees unit-variance
+            # inputs (frozen BN provides no normalization) - serve such
+            # checkpoints with pixel_std: [57.375, 57.12, 58.395] in the config
+            img = (img[:, :, ::-1]
+                   - np.asarray([103.53, 116.28, 123.675], dtype=np.float32)
+                   ) / np.asarray([57.375, 57.12, 58.395], dtype=np.float32)
             # resize to the static input size on host (training tiles are cut
             # once; the jitted step gets fixed shapes)
             sy, sx = input_size / h, input_size / w

@@ -56,7 +56,9 @@ class TrainConfig:
     momentum: float = 0.9
     weight_decay: float = 1e-4
     warmup_iters: int = 100
+    clip_grad_norm: float = 1.0    # detectron2 CLIP_GRADIENTS value
     max_gt: int = 64               # static GT budget per image
+    max_eval_batches: int = 8      # cap per-eval cost
 
     @classmethod
     def from_preset(cls, name: str, **over) -> "TrainConfig":
@@ -94,6 +96,7 @@ def make_optimizer(tc: TrainConfig, params: Dict) -> optax.GradientTransformatio
             tc.base_lr, {int(tc.max_iter * 0.7): 0.1, int(tc.max_iter * 0.9): 0.1}),
     ], [tc.warmup_iters])
     sgd = optax.chain(
+        optax.clip_by_global_norm(tc.clip_grad_norm),
         optax.add_decayed_weights(tc.weight_decay),
         optax.sgd(schedule, momentum=tc.momentum),
     )
@@ -165,6 +168,7 @@ def train_model(dataset: Iterable[Dict[str, np.ndarray]],
         step_fn = jax.jit(make_train_step(model, optimizer))
 
     rng = jax.random.PRNGKey(0)
+    self_loss = step_loss_only(model) if val_dataset is not None else None
     history: Dict[str, list] = {"total_loss": [], "val_loss": []}
     best_val = float("inf")
     best_params = params
@@ -187,7 +191,8 @@ def train_model(dataset: Iterable[Dict[str, np.ndarray]],
                         f"{history['total_loss'][-1]:.4f} "
                         f"({(time.time() - t0) / it:.2f}s/it)")
         if val_dataset is not None and it % tc.eval_period == 0:
-            val = _evaluate(step_loss_only(model), params, val_dataset, rng)
+            val = _evaluate(self_loss, params, val_dataset, rng,
+                            tc.max_eval_batches)
             history["val_loss"].append(val)
             if val < best_val:
                 best_val = val
@@ -215,9 +220,11 @@ def step_loss_only(model):
     return f
 
 
-def _evaluate(loss_fn, params, dataset, rng) -> float:
+def _evaluate(loss_fn, params, dataset, rng, max_batches: int = 8) -> float:
     vals = []
-    for batch in dataset:
+    for i, batch in enumerate(dataset):
+        if i >= max_batches:
+            break
         vals.append(float(loss_fn(params, batch, rng)))
     return float(np.mean(vals)) if vals else float("inf")
 
