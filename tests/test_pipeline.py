@@ -254,3 +254,62 @@ class TestEndToEnd:
         assert srs == 25832
         # process_files must RETURN the final layer paths
         assert outputs == [str(processed)]
+
+
+@pytest.mark.slow
+class TestTwoModelEndToEnd:
+    def test_two_model_routing_and_fusion(self, tmp_path, rng):
+        """Urban/forest two-model branch: exclude-flag routing, per-model
+        stitching, and outline fusion (reference detection.py:143-219)."""
+        from treedetection_tpu.vector.geojson import write_geojson
+
+        t = Affine.from_origin(412000.0, 5318000.0, 0.5, 0.5)
+        rgbi = rng.integers(0, 255, (400, 400, 4), dtype=np.uint8)
+        ndsm = (rng.random((400, 400)) * 20).astype(np.float32)
+        (tmp_path / "rgb").mkdir()
+        (tmp_path / "nDSM").mkdir()
+        write_geotiff(str(tmp_path / "rgb" / "324125317.tif"), rgbi, t, crs=25832)
+        write_geotiff(str(tmp_path / "nDSM" / "324125317.tif"), ndsm, t,
+                      crs=25832, nodata=-9999.0)
+        # forest outline: the west half (+margins) of the 200 m image, so
+        # west tiles are forest-only and east tiles urban-only even with
+        # their 10 m buffers
+        outline = tmp_path / "forest.geojson"
+        write_geojson(str(outline),
+                      [np.array([[411980., 5317780.], [412100., 5317780.],
+                                 [412100., 5318020.], [411980., 5318020.]])],
+                      [{}], crs_epsg=25832)
+        for name in ("urban.ckpt", "forest.ckpt"):
+            (tmp_path / name).write_text("x")  # random-init fallbacks
+
+        cfg_yaml = {
+            "image_directory": "rgb", "height_data_path": "nDSM",
+            "urban_model": "urban.ckpt", "forrest_model": "forest.ckpt",
+            "forrest_outline": "forest.geojson",
+            "output_directory": "out", "tiles_path": "tiles",
+            "tile_width": 50, "tile_height": 50, "buffer": 10,
+            "batch_size": 2, "use_overlap": False,
+            "model_depth": 50, "model_input_size": 128,
+            "rpn_pre_nms_topk": 100, "rpn_post_nms_topk": 50,
+            "max_detections": 10, "mixed_precision": False,
+            "keep_intermediate": True,
+        }
+        cfg_path = tmp_path / "config.yml"
+        cfg_path.write_text(yaml.safe_dump(cfg_yaml))
+        from treedetection_tpu.config import get_config, Config
+        from treedetection_tpu.detection import preprocess_files, predict_tiles
+        Config.reset()
+        config, _ = get_config(str(cfg_path))
+        preprocess_files(config)
+
+        # tiles must carry forest/urban flags from the outline
+        meta = json.loads((tmp_path / "tiles" / "324125317.json").read_text())
+        flags = {(m["only_forest"], m["only_urban"]) for m in meta.values()}
+        assert (True, False) in flags or (False, False) in flags
+        assert (False, True) in flags  # east tiles are urban-only
+
+        outputs = predict_tiles(config)
+        # per-model prediction folders + fused per-image output exist
+        assert (tmp_path / "out" / "predictions" / "urban").is_dir()
+        assert (tmp_path / "out" / "predictions" / "forest").is_dir()
+        assert outputs and os.path.exists(outputs[0])
