@@ -162,3 +162,10 @@ def visualize_results(predictions: Sequence[np.ndarray],
     ax.legend()
     fig.savefig(out_png, dpi=120, bbox_inches="tight")
     plt.close(fig)
+
+
+def annotation_boxes(geoms: Sequence[np.ndarray]) -> np.ndarray:
+    """(N, 4) bounding boxes from crown polygons — used to derive box prompts
+    from polygon annotations (reference
+    ``segment_evaluation_cambridge.py:25-38``)."""
+    return polygons_bounds(geoms)
