@@ -24,7 +24,9 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "contour.cpp")
-_SO = os.path.join(_HERE, "_td_native.so")
+# .bin extension: keeps pkgutil from mistaking the ctypes
+# library for a Python extension module
+_SO = os.path.join(_HERE, "_td_native.bin")
 
 _lib = None
 _lock = threading.Lock()
