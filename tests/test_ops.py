@@ -258,6 +258,42 @@ class TestPatchROIAlign:
         fast = np.asarray(multilevel_roi_align(fmaps, boxes, 7, (4, 8, 16, 32)))
         ref = np.asarray(multilevel_roi_align_gather(fmaps, boxes, 7,
                                                      (4, 8, 16, 32)))
-        # the 12.8:1 strip exceeds the PATCH span: compare only the first two
-        assert np.allclose(fast[:2], ref[:2], atol=2e-5)
-        assert np.isfinite(fast[2]).all()
+        # the 12.8:1 strip exceeds the PATCH span -> per-box gather fallback
+        # makes it exact too
+        assert np.allclose(fast, ref, atol=2e-5), np.abs(fast - ref).max()
+
+    def test_high_aspect_boxes_exact(self):
+        """Aspect ratios 3-8 at every level: the out-of-span fallback must
+        reproduce the gather path exactly (no truncated bins)."""
+        from treedetection_tpu.ops.roi_align import (
+            multilevel_roi_align, multilevel_roi_align_gather)
+        fmaps = self._fmaps(seed=8)
+        rng = np.random.default_rng(9)
+        rows = []
+        # sqrt(area) band per level: L2 <56, L3 [56,112), L4 [112,224), L5 >=224
+        for size in (50.0, 100.0, 200.0, 300.0):
+            for aspect in (3.0, 5.0, 8.0):
+                w = size * np.sqrt(aspect)
+                h = size / np.sqrt(aspect)
+                cx, cy = rng.uniform(50, 200, 2)
+                rows.append([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2])
+                rows.append([cx - h / 2, cy - w / 2, cx + h / 2, cy + w / 2])
+        boxes = jnp.asarray(np.asarray(rows, dtype=np.float32))
+        fast = np.asarray(multilevel_roi_align(fmaps, boxes, 7, (4, 8, 16, 32)))
+        ref = np.asarray(multilevel_roi_align_gather(fmaps, boxes, 7,
+                                                     (4, 8, 16, 32)))
+        assert np.allclose(fast, ref, atol=2e-5), np.abs(fast - ref).max()
+
+    def test_overflow_beyond_budget_bounded(self):
+        """More overflow boxes than FALLBACK_BUDGET: excess keeps truncated
+        pooling (finite, and exact on the non-overhanging bins)."""
+        from treedetection_tpu.ops.roi_align import (
+            FALLBACK_BUDGET, multilevel_roi_align)
+        fmaps = self._fmaps(seed=10)
+        n = FALLBACK_BUDGET + 8
+        boxes = jnp.asarray(
+            np.stack([np.zeros(n), 10.0 + np.arange(n),
+                      np.full(n, 256.0), 30.0 + np.arange(n)], 1
+                     ).astype(np.float32))  # 256x20 strips, aspect 12.8
+        out = np.asarray(multilevel_roi_align(fmaps, boxes, 7, (4, 8, 16, 32)))
+        assert np.isfinite(out).all()

@@ -167,10 +167,16 @@ def multilevel_roi_align_gather(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray
 # < 28 for interior levels (and image/stride for the clamped ones), but the
 # max SIDE grows with aspect ratio: side = sqrt(area * aspect).  48 covers
 # aspect ratios up to ~2.9:1 at the top of a level's size band (and higher
-# for smaller boxes); beyond that the hat weights truncate the overhanging
-# bins to zero — acceptable for blob-like crowns, and bounded error for the
-# low-scoring elongated proposals that exceed it.
+# for smaller boxes); boxes that outspan the patch are detected per-box and
+# re-pooled through the exact gather path within a static budget
+# (FALLBACK_BUDGET) so no bin is ever silently truncated.
 PATCH = 48
+
+# Static number of out-of-span boxes re-pooled via the gather path per call.
+# Elongated (aspect > ~2.9) boxes are rare for blob-like crowns; if more than
+# this many overflow in one image, the excess keeps the truncated patch
+# pooling (bounded error on the overhanging bins only).
+FALLBACK_BUDGET = 16
 
 
 def _hat_matrix(samples: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -260,6 +266,10 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     valid_x = (sx_abs > -1.0) & (sx_abs < wf)
     sy = jnp.clip(sy_abs, 0.0, hf - 1.0) - oy.astype(boxes.dtype)[:, None]
     sx = jnp.clip(sx_abs, 0.0, wf - 1.0) - ox.astype(boxes.dtype)[:, None]
+    # out-of-span detection: a sample at patch-relative coord > PATCH-1 needs
+    # a row the patch doesn't hold (the hat weight would truncate it)
+    overflow = (jnp.max(sy, axis=1) > PATCH - 1) | \
+               (jnp.max(sx, axis=1) > PATCH - 1)
     # fold the S-sample average into the hat matrices: (N, R, PATCH)
     ay = _hat_matrix(sy, PATCH) * valid_y[..., None]
     ax = _hat_matrix(sx, PATCH) * valid_x[..., None]
@@ -282,14 +292,27 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
                           preferred_element_type=dtype)
 
     if n <= chunk:
-        return pool_chunk((starts, ay, ax))
-    pad_n = (-n) % chunk
-    st = jnp.pad(starts, ((0, pad_n), (0, 0)))
-    a_y = jnp.pad(ay, ((0, pad_n), (0, 0), (0, 0)))
-    a_x = jnp.pad(ax, ((0, pad_n), (0, 0), (0, 0)))
-    k = (n + pad_n) // chunk
-    out = jax.lax.map(pool_chunk,
-                      (st.reshape(k, chunk, PATCH),
-                       a_y.reshape(k, chunk, resolution, PATCH),
-                       a_x.reshape(k, chunk, resolution, PATCH)))
-    return out.reshape(k * chunk, resolution, resolution, C)[:n]
+        out = pool_chunk((starts, ay, ax))
+    else:
+        pad_n = (-n) % chunk
+        st = jnp.pad(starts, ((0, pad_n), (0, 0)))
+        a_y = jnp.pad(ay, ((0, pad_n), (0, 0), (0, 0)))
+        a_x = jnp.pad(ax, ((0, pad_n), (0, 0), (0, 0)))
+        k = (n + pad_n) // chunk
+        out = jax.lax.map(pool_chunk,
+                          (st.reshape(k, chunk, PATCH),
+                           a_y.reshape(k, chunk, resolution, PATCH),
+                           a_x.reshape(k, chunk, resolution, PATCH)))
+        out = out.reshape(k * chunk, resolution, resolution, C)[:n]
+
+    # exact-pool fixup for out-of-span boxes: re-pool up to FALLBACK_BUDGET of
+    # them through the gather path (static shapes; top_k picks the overflow
+    # boxes) and scatter the results back.
+    m = min(FALLBACK_BUDGET, n)
+    if m > 0:
+        flag, idx = jax.lax.top_k(overflow.astype(jnp.float32), m)
+        fb = multilevel_roi_align_gather(fmaps, boxes[idx], resolution,
+                                         strides, sampling_ratio)
+        take = (flag > 0)[:, None, None, None]
+        out = out.at[idx].set(jnp.where(take, fb.astype(out.dtype), out[idx]))
+    return out
