@@ -48,6 +48,146 @@ class TestPallasIoU:
         assert out.shape == (7, 7)
         assert (np.diag(out) == 1).all()  # IoU(self) = 1 > 0.5
 
+    def test_dedupe_mask_matches_dense(self):
+        from treedetection_tpu.ops.pallas import pairwise_dedupe_mask
+        from treedetection_tpu.ops.boxes import box_iou_matrix
+        boxes = self._boxes(n=150, seed=2)
+        rng = np.random.default_rng(3)
+        areas = jnp.asarray(rng.uniform(1, 100, 150).astype(np.float32))
+        got = np.asarray(pairwise_dedupe_mask(boxes, areas, 0.5, 0.3,
+                                              force_interpret=True))
+        iou = np.asarray(box_iou_matrix(boxes, boxes))
+        a = np.asarray(areas)
+        rel = np.abs(a[:, None] - a[None, :]) / np.maximum(a[:, None], a[None, :])
+        want = ((iou > 0.5) & (rel < 0.3)).astype(np.uint8)
+        assert np.array_equal(got, want)
+
+    def test_rectangular_rows(self):
+        from treedetection_tpu.ops.pallas import (
+            pairwise_containment_mask, pairwise_iou_mask)
+        boxes = self._boxes(n=90, seed=4)
+        full_iou = np.asarray(pairwise_iou_mask(boxes, 0.5,
+                                                force_interpret=True))
+        block = np.asarray(pairwise_iou_mask(boxes, 0.5, rows=boxes[30:60],
+                                             force_interpret=True))
+        assert np.array_equal(block, full_iou[30:60])
+        full_c = np.asarray(pairwise_containment_mask(boxes, 0.8,
+                                                      force_interpret=True))
+        blk_c = np.array(pairwise_containment_mask(boxes, 0.8,
+                                                   rows=boxes[30:60],
+                                                   force_interpret=True))
+        # rectangular blocks don't clear the diagonal; do it before comparing
+        for k in range(30):
+            blk_c[k, 30 + k] = 0
+        assert np.array_equal(blk_c, full_c[30:60])
+
+
+class TestSparsePostprocessing:
+    """The blocked sparse dedupe/containment path must reproduce the dense
+    reference loops exactly."""
+
+    def _crowd(self, n, seed=0, span=2000.0):
+        rng = np.random.default_rng(seed)
+        c = rng.uniform(0, span, (n, 2))
+        s = rng.uniform(2, 12, (n, 2))
+        bounds = np.concatenate([c - s / 2, c + s / 2], axis=1).astype(np.float32)
+        areas = (s[:, 0] * s[:, 1] * rng.uniform(0.6, 1.0, n)).astype(np.float32)
+        scores = rng.uniform(0.3, 1.0, n).astype(np.float32)
+        return bounds, areas, scores
+
+    @staticmethod
+    def _dense_greedy(bounds, areas, scores, iou_thr, area_thr=0.3):
+        from treedetection_tpu.ops.boxes import box_iou_matrix
+        iou = np.asarray(box_iou_matrix(jnp.asarray(bounds), jnp.asarray(bounds)))
+        a = areas[:, None]
+        rel = np.abs(a - areas[None, :]) / np.maximum(a, areas[None, :])
+        mask = (iou > iou_thr) & (rel < area_thr)
+        remove = np.zeros(len(bounds), dtype=bool)
+        for i in range(len(bounds)):
+            if remove[i]:
+                continue
+            connected = np.append(np.where(mask[i])[0], i)
+            best = connected[np.argmax(scores[connected])]
+            for j in connected:
+                if j != best:
+                    remove[j] = True
+        return ~remove
+
+    def test_sparse_dedupe_matches_dense_loop(self):
+        from treedetection_tpu.postprocessing import filter_by_iou_and_area
+        bounds, areas, scores = self._crowd(400, seed=5, span=300.0)
+        got = filter_by_iou_and_area(bounds, areas, scores, 0.5)
+        want = self._dense_greedy(bounds, areas, scores, 0.5)
+        assert np.array_equal(got, want)
+        assert got.sum() < len(bounds)  # dense crowd: something deduped
+
+    def test_blocked_streaming_matches_single_block(self):
+        from treedetection_tpu.postprocessing import _sparse_relation_pairs
+        bounds, areas, _ = self._crowd(500, seed=6, span=400.0)
+        i1, j1 = _sparse_relation_pairs("dedupe", bounds, 0.5, areas=areas)
+        i2, j2 = _sparse_relation_pairs("dedupe", bounds, 0.5, areas=areas,
+                                        block=128)
+        assert np.array_equal(i1, i2) and np.array_equal(j1, j2)
+        c1 = _sparse_relation_pairs("containment", bounds, 0.8)
+        c2 = _sparse_relation_pairs("containment", bounds, 0.8, block=192)
+        assert np.array_equal(c1[0], c2[0]) and np.array_equal(c1[1], c2[1])
+
+    def test_containment_rules_sparse_matches_dense_loop(self):
+        from treedetection_tpu.postprocessing import (
+            apply_containment_rules_sparse)
+        rng = np.random.default_rng(7)
+        # engineered nests: umbrellas containing 1, 2, 3 crowns + mutual pair
+        bounds = [[0, 0, 100, 100], [10, 10, 20, 20], [30, 30, 40, 40],
+                  [50, 50, 60, 60],                    # 0 contains 1,2,3
+                  [200, 200, 230, 230], [205, 205, 225, 225],  # 4 contains 5
+                  [300, 300, 310, 310], [300, 300, 310, 310],  # mutual 6<->7
+                  [400, 400, 405, 405]]                         # isolated
+        bounds = np.asarray(bounds, dtype=np.float32)
+        n = len(bounds)
+        from treedetection_tpu.ops.boxes import pairwise_intersection_over_area
+        ratios = np.asarray(pairwise_intersection_over_area(
+            jnp.asarray(bounds), jnp.asarray(bounds))).T
+        contains = ratios >= 0.9
+        np.fill_diagonal(contains, False)
+        mean_ndvi = rng.uniform(0, 1, n).astype(np.float32)
+        var_ndvi = rng.uniform(0, 0.2, n).astype(np.float32)
+        areas = rng.uniform(1, 100, n).astype(np.float32)
+
+        # dense oracle (the reference loop, postprocessing.py:636-667)
+        keep = np.ones(n, dtype=bool)
+        for i in range(n):
+            nc = contains[i].sum()
+            if nc >= 3:
+                keep[i] = False
+            elif nc == 2:
+                if any(contains[j, i] for j in np.where(contains[i])[0]):
+                    keep[i] = False
+            elif nc == 1:
+                j = int(np.where(contains[i])[0][0])
+                if abs(mean_ndvi[i] - mean_ndvi[j]) > 0.05:
+                    if var_ndvi[i] >= var_ndvi[j]:
+                        keep[i] = False
+                elif areas[i] <= areas[j]:
+                    keep[i] = False
+        pi, pj = np.nonzero(contains)
+        got = apply_containment_rules_sparse(pi, pj, mean_ndvi, var_ndvi,
+                                             areas, n)
+        assert np.array_equal(got, keep)
+        assert not keep[0]  # the 3-crown umbrella dropped
+
+    @pytest.mark.slow
+    def test_county_scale_dedupe(self):
+        """N = 50k crowns: the blocked sparse path completes in bounded
+        memory/time (the dense N^2 fp32 path would need 10 GB)."""
+        import time
+        from treedetection_tpu.postprocessing import filter_by_iou_and_area
+        bounds, areas, scores = self._crowd(50_000, seed=8, span=20_000.0)
+        t0 = time.time()
+        keep = filter_by_iou_and_area(bounds, areas, scores, 0.5)
+        dt = time.time() - t0
+        assert keep.sum() > 0
+        assert dt < 300, f"county-scale dedupe too slow: {dt:.0f}s"
+
 
 class TestTrainingData:
     def test_make_tiles_and_shards(self, tmp_path, rng):
@@ -142,6 +282,51 @@ class TestBoxAutolabel:
                                         transform=t)
         assert flags == ["crown"]
         assert crowns[0][:, 0].min() >= 1009  # geo coords
+
+    def test_region_grow_generator(self):
+        """The first-party mask generator segments a bright blob inside each
+        prompt box (autolabel_image is runnable without SAM)."""
+        from treedetection_tpu.autolabel import region_grow_mask_generator
+        img = np.zeros((64, 64, 3), dtype=np.uint8)
+        img[...] = (40, 30, 40)                 # dull background
+        img[12:28, 10:26, 1] = 200              # green blob in box 1
+        img[40:56, 36:52, 1] = 180              # green blob in box 2
+        boxes = np.array([[8, 10, 28, 30], [34, 38, 54, 58]], dtype=np.float64)
+        masks = region_grow_mask_generator(img, boxes)
+        assert masks.shape == (2, 64, 64)
+        assert masks[0][20, 18] and not masks[0][5, 5]
+        assert masks[1][48, 44]
+        # blobs recovered with decent IoU against their true extent
+        true0 = np.zeros((64, 64), bool)
+        true0[12:28, 10:26] = True
+        inter = (masks[0] & true0).sum()
+        union = (masks[0] | true0).sum()
+        assert inter / union > 0.7
+
+    def test_cambridge_autolabel_eval(self, tmp_path, rng):
+        """Per-image Cambridge flow: boxes from annotations -> autolabel ->
+        P/R/F1 vs the same annotations (reference
+        segment_evaluation_cambridge.py)."""
+        from treedetection_tpu.autolabel import autolabel_and_evaluate
+        from treedetection_tpu.geo import Affine, write_geotiff
+        from treedetection_tpu.vector import read_gpkg, write_gpkg
+        t = Affine.from_origin(500.0, 600.0, 1.0, 1.0)
+        img = np.zeros((100, 100, 3), dtype=np.uint8)
+        img[...] = (50, 40, 50)
+        img[20:40, 20:40, 1] = 210   # crown A at geo (520..540, 560..580)
+        img[60:85, 55:80, 1] = 190   # crown B
+        tif = str(tmp_path / "img.tif")
+        write_geotiff(tif, img, t, crs=25832)
+        ann = [square(520, 560, 20), square(555, 515, 25)]
+        gp = str(tmp_path / "ann.gpkg")
+        write_gpkg(gp, ann, [{}] * 2)
+        out = str(tmp_path / "autolabel.gpkg")
+        row = autolabel_and_evaluate(tif, gp, out_gpkg=out)
+        assert row["n_annotations"] == 2 and row["n_crowns"] == 2
+        assert row["f1"] > 0.9 and row["mean_iou"] > 0.5
+        geoms, props, srs = read_gpkg(out)
+        assert len(geoms) == 2 and srs == 25832
+        assert all(p["flag"] in ("crown", "clipped", "box") for p in props)
 
     def test_hyperparam_sweep(self, tmp_path):
         from treedetection_tpu.eval.hyperparams import sweep_postprocessing

@@ -13,4 +13,4 @@ Every kernel has a jnp fallback selected automatically off-TPU.
 """
 
 from treedetection_tpu.ops.pallas.iou_kernel import (  # noqa: F401
-    pairwise_iou_mask, pairwise_containment_mask)
+    pairwise_containment_mask, pairwise_dedupe_mask, pairwise_iou_mask)

@@ -45,33 +45,81 @@ AREA_UPPER_BOUND = 1000.0  # m^2; reference postprocessing.py:765-767
 
 # --- dedupe ----------------------------------------------------------------
 
+# Row-block size for streaming the pairwise relations: peak host memory is
+# bounded at PAIRWISE_BLOCK x N uint8 regardless of N, so county-scale files
+# (N ~ 10^5 crowns) never materialize the full N^2 matrix.
+PAIRWISE_BLOCK = 8192
+
+
+def _sparse_relation_pairs(kind: str, bounds: np.ndarray, threshold: float,
+                           areas: Optional[np.ndarray] = None,
+                           area_threshold: float = 0.3,
+                           block: int = PAIRWISE_BLOCK
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Stream the (N, N) pairwise relation in row blocks through the tiled
+    device kernels (Pallas on TPU, jnp broadcast on CPU) and return the True
+    entries as sparse (i, j) index arrays, diagonal excluded."""
+    from treedetection_tpu.ops.pallas import (
+        pairwise_containment_mask, pairwise_dedupe_mask)
+    n = len(bounds)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    b = jnp.asarray(bounds, dtype=jnp.float32)
+    a = jnp.asarray(areas, dtype=jnp.float32) if areas is not None else None
+    out_i: List[np.ndarray] = []
+    out_j: List[np.ndarray] = []
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        if kind == "dedupe":
+            m = pairwise_dedupe_mask(b, a, threshold, area_threshold,
+                                     rows=b[s:e], row_areas=a[s:e])
+        else:
+            m = pairwise_containment_mask(b, threshold, rows=b[s:e])
+        ii, jj = np.nonzero(np.asarray(m))
+        ii = ii + s
+        keep = ii != jj
+        out_i.append(ii[keep])
+        out_j.append(jj[keep])
+    return np.concatenate(out_i), np.concatenate(out_j)
+
+
+def _greedy_group_keep(pairs_i: np.ndarray, pairs_j: np.ndarray,
+                       scores: np.ndarray, n: int) -> np.ndarray:
+    """Greedy group-keep over a sparse relation: visiting rows in index order,
+    each not-yet-removed row's group (neighbors + itself) keeps only its
+    highest-confidence member (exact reference loop semantics,
+    ``postprocessing.py:384-400``).  Rows without neighbors never remove
+    anything, so only connected rows are visited — O(E) host work."""
+    remove = np.zeros(n, dtype=bool)
+    if len(pairs_i) == 0:
+        return ~remove
+    order = np.argsort(pairs_i, kind="stable")
+    pi, pj = pairs_i[order], pairs_j[order]
+    starts = np.searchsorted(pi, np.arange(n + 1))
+    for i in np.unique(pi):
+        if remove[i]:
+            continue
+        connected = np.append(pj[starts[i]:starts[i + 1]], i)
+        best = connected[np.argmax(scores[connected])]
+        remove[connected[connected != best]] = True
+    return ~remove
+
+
 def filter_by_iou_and_area(bounds: np.ndarray, areas: np.ndarray,
                            scores: np.ndarray, iou_threshold: float,
                            area_threshold: float = 0.3) -> np.ndarray:
     """Greedy group-dedupe keep-mask (reference ``postprocessing.py:349-406``):
     polygons whose bbox IoU exceeds the threshold AND whose relative area
     difference is below ``area_threshold`` form a group; only the
-    highest-confidence member survives.  Matrices on device, greedy scan on
-    host (identical semantics to the reference's loop)."""
+    highest-confidence member survives.  Relation streamed through the tiled
+    device kernels; greedy scan over the sparse pairs on host."""
     n = len(bounds)
     if n == 0:
         return np.zeros(0, dtype=bool)
-    iou = np.asarray(box_iou_matrix(jnp.asarray(bounds, dtype=jnp.float32),
-                                    jnp.asarray(bounds, dtype=jnp.float32)))
-    a = areas[:, None]
-    rel = np.abs(a - areas[None, :]) / np.maximum(a, areas[None, :])
-    mask = (iou > iou_threshold) & (rel < area_threshold)
-    remove = np.zeros(n, dtype=bool)
-    for i in range(n):
-        if remove[i]:
-            continue
-        connected = np.where(mask[i])[0]
-        connected = np.append(connected, i)
-        best = connected[np.argmax(scores[connected])]
-        for j in connected:
-            if j != best:
-                remove[j] = True
-    return ~remove
+    pairs_i, pairs_j = _sparse_relation_pairs(
+        "dedupe", bounds, iou_threshold, areas=areas,
+        area_threshold=area_threshold)
+    return _greedy_group_keep(pairs_i, pairs_j, scores, n)
 
 
 # --- containment -------------------------------------------------------------
@@ -98,12 +146,11 @@ def containment_matrix(bounds: np.ndarray, threshold: float
     return is_contained, num_contained, max_ratio
 
 
-def apply_containment_rules(num_contained: np.ndarray, is_contained: np.ndarray,
-                            mean_ndvi: np.ndarray, var_ndvi: np.ndarray,
-                            areas: np.ndarray, contains: Optional[np.ndarray] = None,
-                            bounds: Optional[np.ndarray] = None,
-                            threshold: float = 0.9) -> np.ndarray:
-    """Containment case analysis -> keep mask.
+def apply_containment_rules_sparse(pairs_i: np.ndarray, pairs_j: np.ndarray,
+                                   mean_ndvi: np.ndarray, var_ndvi: np.ndarray,
+                                   areas: np.ndarray, n: int) -> np.ndarray:
+    """Containment case analysis over the sparse contains relation -> keep
+    mask.  Fully vectorized (each row's decision is independent).
 
     Decision rules (reference ``postprocessing.py:636-667``; its literal code
     mixes indices, so this is the documented intent):
@@ -113,8 +160,43 @@ def apply_containment_rules(num_contained: np.ndarray, is_contained: np.ndarray,
       when mean NDVI differs by > 0.05, else larger area
     * contains 0: keep
     """
-    n = len(num_contained)
     keep = np.ones(n, dtype=bool)
+    if len(pairs_i) == 0:
+        return keep
+    nc = np.bincount(pairs_i, minlength=n)
+    keep[nc >= 3] = False
+    # mutual containment per pair: (j, i) also present
+    codes = pairs_i.astype(np.int64) * n + pairs_j
+    rev = pairs_j.astype(np.int64) * n + pairs_i
+    mutual = np.isin(rev, codes)
+    mutual_rows = np.bincount(pairs_i, weights=mutual, minlength=n) > 0
+    keep[(nc == 2) & mutual_rows] = False
+    # single-containment tie-break: the one contained row j per i (first by
+    # index, matching np.where(...)[0][0] in the dense loop)
+    one = nc == 1
+    if one.any():
+        order = np.argsort(pairs_i, kind="stable")
+        pi, pj = pairs_i[order], pairs_j[order]
+        starts = np.searchsorted(pi, np.arange(n))
+        i1 = np.where(one)[0]
+        j1 = pj[starts[i1]]
+        d_ndvi = np.abs(mean_ndvi[i1] - mean_ndvi[j1])
+        drop = np.where(d_ndvi > 0.05,
+                        var_ndvi[i1] >= var_ndvi[j1],
+                        areas[i1] <= areas[j1])
+        keep[i1[drop]] = False
+    return keep
+
+
+def apply_containment_rules(num_contained: np.ndarray, is_contained: np.ndarray,
+                            mean_ndvi: np.ndarray, var_ndvi: np.ndarray,
+                            areas: np.ndarray, contains: Optional[np.ndarray] = None,
+                            bounds: Optional[np.ndarray] = None,
+                            threshold: float = 0.9) -> np.ndarray:
+    """Dense-matrix wrapper around :func:`apply_containment_rules_sparse`
+    (kept for API compatibility; ``num_contained``/``is_contained`` are
+    recomputed from the relation)."""
+    n = len(num_contained)
     if contains is None:
         if bounds is None:
             raise ValueError("need contains matrix or bounds")
@@ -122,22 +204,9 @@ def apply_containment_rules(num_contained: np.ndarray, is_contained: np.ndarray,
         ratios = np.asarray(pairwise_intersection_over_area(b, b)).T
         contains = ratios >= threshold
         np.fill_diagonal(contains, False)
-    for i in range(n):
-        nc = num_contained[i]
-        if nc >= 3:
-            keep[i] = False
-        elif nc == 2:
-            inner = np.where(contains[i])[0]
-            if any(contains[j, i] for j in inner):
-                keep[i] = False
-        elif nc == 1:
-            j = int(np.where(contains[i])[0][0])
-            if abs(mean_ndvi[i] - mean_ndvi[j]) > 0.05:
-                if var_ndvi[i] >= var_ndvi[j]:
-                    keep[i] = False
-            elif areas[i] <= areas[j]:
-                keep[i] = False
-    return keep
+    pairs_i, pairs_j = np.nonzero(contains)
+    return apply_containment_rules_sparse(pairs_i, pairs_j, mean_ndvi,
+                                          var_ndvi, areas, n)
 
 
 # --- border / overlap-strip exclusion ---------------------------------------
@@ -256,19 +325,19 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
     v_thr = float(config.get("ndvi_var_threshold", 0.1))
     keep &= ~(((mean_ndvi < m_thr) | (var_ndvi > v_thr)) & (mean_ndvi > -1.0))
 
-    # containment on the survivors
+    # containment on the survivors: sparse relation streamed through the
+    # tiled device kernels, rules fully vectorized
     idx = np.where(keep)[0]
     if len(idx) == 0:
         return [], []
     c_thr = float(config.get("containment_threshold", 0.9))
-    is_contained, num_contained, _ = containment_matrix(bounds[idx], c_thr)
-    b = jnp.asarray(bounds[idx], dtype=jnp.float32)
-    ratios = np.asarray(pairwise_intersection_over_area(b, b)).T
-    contains = ratios >= c_thr
-    np.fill_diagonal(contains, False)
-    ckeep = apply_containment_rules(
-        num_contained, is_contained, mean_ndvi[idx], var_ndvi[idx],
-        areas[idx], contains=contains)
+    m = len(idx)
+    pairs_i, pairs_j = _sparse_relation_pairs("containment", bounds[idx], c_thr)
+    num_contained = np.bincount(pairs_i, minlength=m)
+    is_contained = np.zeros(m, dtype=bool)
+    is_contained[pairs_j] = True
+    ckeep = apply_containment_rules_sparse(
+        pairs_i, pairs_j, mean_ndvi[idx], var_ndvi[idx], areas[idx], m)
     final_idx = idx[ckeep]
 
     out_geoms: List[np.ndarray] = []
@@ -418,7 +487,8 @@ def process_files_in_directory(config: Dict[str, Any], gpkg_dir: str,
     outputs: List[str] = []
     gpkgs = sorted(p for p in os.listdir(gpkg_dir)
                    if p.endswith(".gpkg") and not p.startswith("processed_"))
-    for i, name in enumerate(gpkgs):
+    todo: List[Tuple[str, str, Optional[str], Optional[str], bool]] = []
+    for name in gpkgs:
         stem = Path(name).stem
         out_path = os.path.join(out_dir, f"processed_{name}")
         outputs.append(out_path)
@@ -429,17 +499,30 @@ def process_files_in_directory(config: Dict[str, Any], gpkg_dir: str,
         merged = bool(img_merged_rx and re.match(img_merged_rx, stem + ".tif"))
         if height is None and logger:
             logger.warning(f"No height raster matched for {name}")
-        try:
-            n = process_single_file(os.path.join(gpkg_dir, name), config,
-                                    height, rgbi, out_path,
-                                    is_merged_strip=merged)
-            if logger:
-                logger.info(f"Postprocessed {name}: {n} crowns "
-                            f"({i + 1}/{len(gpkgs)})")
-        except (OSError, ValueError) as exc:  # keep batch alive (ref :941-943)
-            if logger:
-                logger.error(f"Postprocessing failed for {name}: {exc}")
-            continue
-        completed.append(name)
-        save_postprocess_recovery_data(out_dir, params, completed)
+        todo.append((name, out_path, height, rgbi, merged))
+
+    # file-level thread pool (reference used a 5-thread pool,
+    # ``postprocessing.py:1051``): raster decode + vector I/O parallelize,
+    # the jitted stats serialize on the device; recovery manifest is saved
+    # from the main thread as completions land.
+    from concurrent.futures import ThreadPoolExecutor, as_completed
+    workers = max(min(int(config.get("num_workers") or 5), len(todo) or 1), 1)
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = {ex.submit(process_single_file, os.path.join(gpkg_dir, name),
+                          config, height, rgbi, out_path,
+                          is_merged_strip=merged): name
+                for name, out_path, height, rgbi, merged in todo}
+        for i, fut in enumerate(as_completed(futs)):
+            name = futs[fut]
+            try:
+                n = fut.result()
+                if logger:
+                    logger.info(f"Postprocessed {name}: {n} crowns "
+                                f"({i + 1}/{len(todo)})")
+            except (OSError, ValueError) as exc:  # keep batch alive (ref :941-943)
+                if logger:
+                    logger.error(f"Postprocessing failed for {name}: {exc}")
+                continue
+            completed.append(name)
+            save_postprocess_recovery_data(out_dir, params, completed)
     return outputs
