@@ -179,6 +179,34 @@ class TestFusion:
         scores = sorted(round(p["Confidence_score"], 1) for p in props)
         assert scores == [0.6, 0.9]
 
+    def test_outline_island_inside_crown_intersects(self):
+        """An outline island strictly inside the crown must count as an
+        intersection even though no crown vertex (nor the centroid) touches
+        it (reference GEOS ``intersects`` semantics, helpers.py:804-812)."""
+        from treedetection_tpu.fusion import OutlineMask
+        island = square(25, 5, 10)  # off-center: crown centroid (20,20) misses
+        mask = OutlineMask([island], (0, 0, 40, 40), resolution=0.5)
+        crown = square(0, 0, 40)
+        intersects, within = mask.polygon_relation(crown)
+        assert intersects is True
+        assert within is False
+
+    def test_crown_spanning_outline_gap_not_within(self):
+        """All crown vertices + centroid inside the outline union, but the
+        interior spans an uncovered strip -> NOT within."""
+        from treedetection_tpu.fusion import OutlineMask
+        left = square(0, 0, 20)
+        right = square(26, 0, 34)  # gap x in (20, 26); crown centroid at x=30
+        mask = OutlineMask([left, right], (0, 0, 60, 40), resolution=0.5)
+        crown = np.array([[5.0, 5.0], [55.0, 5.0], [55.0, 35.0], [5.0, 35.0],
+                          [5.0, 5.0]])
+        intersects, within = mask.polygon_relation(crown)
+        assert intersects is True
+        assert within is False
+        # sanity: a crown fully under one square IS within
+        inner = square(4, 4, 12)
+        assert mask.polygon_relation(inner) == (True, True)
+
     def test_exclude_outlines(self, tmp_path):
         from treedetection_tpu.fusion import exclude_outlines
         from treedetection_tpu.vector.geojson import write_geojson

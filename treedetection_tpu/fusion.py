@@ -71,16 +71,48 @@ class OutlineMask:
         return self.mask[r, c] & inside_extent
 
     def polygon_relation(self, ring: np.ndarray) -> Tuple[bool, bool]:
-        """-> (intersects_union, within_union) for one crown."""
+        """-> (intersects_union, within_union) for one crown.
+
+        Full-area test: the crown is rasterized over its bbox at the mask's
+        resolution and compared cell-by-cell with the outline coverage.
+        Vertex+centroid sampling alone misclassifies an outline island fully
+        inside the crown (missed intersection) and a crown whose interior
+        spans an outline hole (false ``within``); the reference's GEOS
+        ``intersects``/``within`` (``helpers.py:804-812``) handles both.
+        """
         r = ensure_open(ring)
         if len(r) == 0:
             return False, False
-        hits = self._sample(r)
-        centroid = r.mean(axis=0, keepdims=True)
-        c_hit = self._sample(centroid)[0]
-        intersects = bool(hits.any() or c_hit)
-        within = bool(hits.all() and c_hit)
-        return intersects, within
+        from treedetection_tpu.vector.rasterize import rasterize_polygon
+        inv = self.transform.invert()
+        cols, rows = inv.apply(r[:, 0], r[:, 1])
+        h, w = self.mask.shape
+        c0 = int(np.floor(cols.min()))
+        c1 = int(np.ceil(cols.max())) + 1
+        r0 = int(np.floor(rows.min()))
+        r1 = int(np.ceil(rows.max())) + 1
+        sub_h, sub_w = r1 - r0, c1 - c0
+        if sub_h <= 0 or sub_w <= 0:
+            return False, False
+        t = self.transform
+        local = Affine(t.a, t.b, t.c + t.a * c0 + t.b * r0,
+                       t.d, t.e, t.f + t.d * c0 + t.e * r0)
+        crown = rasterize_polygon(r, local, (sub_h, sub_w))
+        if not crown.any():
+            # sub-resolution crown: fall back to vertex+centroid sampling
+            hits = self._sample(r)
+            c_hit = self._sample(r.mean(axis=0, keepdims=True))[0]
+            return bool(hits.any() or c_hit), bool(hits.all() and c_hit)
+        # outline coverage over the same window (cells beyond the mask
+        # extent carry no outline)
+        outline = np.zeros((sub_h, sub_w), dtype=bool)
+        rr0, rr1 = max(r0, 0), min(r1, h)
+        cc0, cc1 = max(c0, 0), min(c1, w)
+        if rr1 > rr0 and cc1 > cc0:
+            outline[rr0 - r0:rr1 - r0, cc0 - c0:cc1 - c0] = \
+                self.mask[rr0:rr1, cc0:cc1]
+        inter = crown & outline
+        return bool(inter.any()), bool((crown <= outline).all())
 
 
 def exclude_outlines(gpkg_paths: Sequence[str], exclude_files: Sequence[str],
