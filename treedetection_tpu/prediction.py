@@ -34,6 +34,10 @@ from treedetection_tpu.ops.image import normalize_bgr, resize_bilinear
 from treedetection_tpu.native import trace_contours
 from treedetection_tpu.preprocessing import load_tile_metadata
 
+# Per-call timing of the most recent Predictor run (compile vs stream vs
+# host polygonize) — consumed by bench.py's pipeline benchmark and DEBUG logs.
+LAST_RUN_STATS: Dict[str, float] = {}
+
 
 def _resize_mask_np(mask: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Bilinear mask resize on host (28x28 -> box size), half-pixel centers —
@@ -80,7 +84,9 @@ class Predictor:
         self.params = None
         if model_path and os.path.exists(model_path) and \
                 (model_path.endswith(".pth") or model_path.endswith(".pkl")
-                 or os.path.isdir(model_path)):
+                 or model_path.endswith(".npz") or os.path.isdir(model_path)) \
+                and (os.path.isdir(model_path)
+                     or os.path.getsize(model_path) > 0):
             try:
                 self.params = load_checkpoint(model_path, depth=self.cfg.depth)
                 if self.logger:
@@ -96,29 +102,83 @@ class Predictor:
                     f"Model path {model_path!r} missing/unsupported - using "
                     f"randomly initialized weights (pipeline structure only)")
         self.batch_size = int(config.get("batch_size", 10))
+        self.spec = spec
+
+        # Multi-chip inference (VERDICT r1 item 2): when more than one device
+        # is visible (or ``mesh_shape`` requests it), the tile batch is
+        # sharded over a 1-D data mesh — XLA runs each chip's slice locally,
+        # no collectives needed for independent tiles.  The batch size is
+        # rounded up to a mesh multiple so shards are equal.
+        self.mesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 or config.get("mesh_shape"):
+            from treedetection_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(config)
+            if mesh.size > 1:
+                self.mesh = mesh
+                self.batch_size = -(-self.batch_size // mesh.size) * mesh.size
         self.params = jax.device_put(self.params)
 
-        model = self.model
+        # Per-window-geometry compile cache: the jitted program depends on the
+        # padded tile size, which is canonicalized to a multiple of 8 so pixel
+        # jitter across images (and merged seam strips, whose tile windows
+        # share the normal geometry) reuses one compilation instead of paying
+        # ~100 s per distinct pad on remote backends.
+        self._fwd_cache: Dict[Tuple[int, int], Any] = {}
+
+    def _get_forward(self, pad: int):
+        """-> (forward fn taking a (B, pad, pad, 3) uint8 batch, box scale
+        back to padded-tile pixels).
+
+        Weights are captured as compile-time constants instead of jit
+        arguments: XLA then folds the frozen-BN scale/bias into the conv
+        weights and pre-lays-out kernels once at compile time.  (On the
+        axon remote backend this is also the difference between full MXU
+        throughput and a ~1000x argument-streaming penalty.)
+        Input arrives as uint8 — 4x less host->device traffic than fp32;
+        the cast/normalize runs on device fused into the stem conv's reads.
+        """
         size = self.cfg.input_size
-        params = self.params
-
-        # Weights are captured as compile-time constants instead of jit
-        # arguments: XLA then folds the frozen-BN scale/bias into the conv
-        # weights and pre-lays-out kernels once at compile time.  (On the
-        # axon remote backend this is also the difference between full MXU
-        # throughput and a ~1000x argument-streaming penalty.)
-        # Input arrives as uint8 — 4x less host->device traffic than fp32;
-        # the cast/normalize runs on device fused into the stem conv's reads.
+        spec = self.spec
+        # test-time resize semantics (reference ``prediction.py:169``;
+        # ModelSpec.test_resize documents the two modes)
+        if spec.test_resize == "shortest_edge":
+            scale = min(spec.resize_shortest_edge / pad,
+                        spec.resize_max_size / pad)
+            content = min(int(round(pad * scale)), size)
+        else:
+            content = size
+        key = (pad, content)
+        cached = self._fwd_cache.get(key)
+        if cached is not None:
+            return cached
+        model, params = self.model, self.params
         pixel_mean, pixel_std = spec.pixel_mean, spec.pixel_std
+        mesh = self.mesh
 
-        @jax.jit
-        def _forward(raw_tiles):
-            # raw_tiles: (B, P, P, 3) uint8
+        def _fwd(raw_tiles):
+            # raw_tiles: (B, pad, pad, 3) uint8
             x = normalize_bgr(raw_tiles, pixel_mean, pixel_std)
-            x = resize_bilinear(x, size, size)
+            x = resize_bilinear(x, content, content)
+            if content < size:  # shortest-edge: zero-pad to the static canvas
+                x = jnp.pad(x, ((0, 0), (0, size - content),
+                                (0, size - content), (0, 0)))
             return model.apply(params, x)
 
-        self._forward = lambda _params, tiles: _forward(tiles)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+            def _sharded(raw_tiles):
+                raw_tiles = jax.lax.with_sharding_constraint(raw_tiles, data)
+                return _fwd(raw_tiles)
+
+            fn = jax.jit(_sharded)
+        else:
+            fn = jax.jit(_fwd)
+        entry = (fn, pad / content)
+        self._fwd_cache[key] = entry
+        return entry
 
     # -- tile loading --------------------------------------------------------
     def _load_tiles(self, tile_meta_path: str, exclude_flag: Optional[str]
@@ -151,11 +211,16 @@ class Predictor:
             win = src.transform.window_for_bounds(*b)
             windows.append(win)
         pad = max(max(w[2] for w in windows), max(w[3] for w in windows))
+        pad = max(-(-pad // 8) * 8, 32)  # canonical pad -> compile-cache hit
 
         n = len(items)
         bs = self.batch_size
         pending: List[Tuple[List[Dict], Any, List[Tuple[int, int]]]] = []
         written = 0
+        forward, box_scale = self._get_forward(pad)
+        stats = {"tiles": float(n), "batches": 0.0, "compile_s": 0.0,
+                 "dispatch_s": 0.0, "flush_s": 0.0, "wall_s": 0.0}
+        t_start = __import__("time").time()
 
         def run_batch(batch):
             """Dispatch with failure detection: a crashed/restarted device
@@ -166,7 +231,15 @@ class Predictor:
             import time as _time
             for attempt in range(3):
                 try:
-                    return self._forward(self.params, batch)
+                    t0 = _time.time()
+                    out = forward(batch)
+                    dt = _time.time() - t0
+                    if stats["batches"] == 0:
+                        stats["compile_s"] = dt  # first dispatch traces+compiles
+                    else:
+                        stats["dispatch_s"] += dt
+                    stats["batches"] += 1
+                    return out
                 except Exception as exc:  # jax runtime errors are dynamic types
                     transient = ("UNAVAILABLE" in str(exc)
                                  or "INTERNAL" in str(exc))
@@ -188,10 +261,9 @@ class Predictor:
                     out.valid[k], sizes[k], pad, tifpath, output_dir)
                 written += 1
 
-        batch_items: List[Dict] = []
-        batch_arrays: List[np.ndarray] = []
-        sizes: List[Tuple[int, int]] = []
-        for idx, (it, win) in enumerate(zip(items, windows)):
+        def decode(it_win):
+            """Windowed read -> padded uint8 tile (runs in the decode pool)."""
+            it, win = it_win
             arr = src.read(win, fill_value=0)
             h, w = arr.shape[:2]
             if arr.shape[2] < 3:
@@ -200,37 +272,96 @@ class Predictor:
                 arr = (arr.astype(np.float32) / 257.0).astype(np.uint8)
             tile = np.zeros((pad, pad, 3), dtype=np.uint8)
             tile[:h, :w] = arr[:, :, :3].astype(np.uint8)
-            batch_items.append(it)
-            batch_arrays.append(tile)
-            sizes.append((h, w))
-            if len(batch_items) == bs or idx == n - 1:
-                while len(batch_arrays) < bs:  # static batch shape
-                    batch_arrays.append(np.zeros((pad, pad, 3), dtype=np.uint8))
-                batch = jnp.asarray(np.stack(batch_arrays))
-                device_out = run_batch(batch)
-                # overlap: finalize previous batch while this one runs
-                if pending:
-                    flush(*pending.pop())
-                pending.append((batch_items, device_out, sizes))
-                batch_items, batch_arrays, sizes = [], [], []
-                if self.logger and n >= 20 and (idx + 1) % max(1, n // 20) == 0:
-                    self.logger.info(f"Prediction progress {Path(tifpath).stem}: "
-                                     f"{idx + 1}/{n} tiles")
-        while pending:
-            flush(*pending.pop())
+            return it, tile, (h, w)
+
+        # Host pipeline parallelism (the reference decodes inline on one
+        # thread, ``prediction.py:159-176``): a decode pool streams tiles with
+        # a bounded 2-batch prefetch window ahead of the device, and the
+        # polygonize/write work for batch k runs while batch k+1 computes.
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        workers = max(int(self.config.get("num_workers") or 8), 1)
+        prefetch = 2 * bs
+        work = iter(zip(items, windows))
+
+        def flush(batch_items, device_out, sizes):
+            nonlocal written
+            import time as _time
+            t0 = _time.time()
+            out = jax.device_get(device_out)
+            for k, it in enumerate(batch_items):
+                self._write_tile_predictions(
+                    it, out.boxes[k], out.scores[k], out.masks[k],
+                    out.valid[k], sizes[k], box_scale, tifpath, output_dir)
+                written += 1
+            stats["flush_s"] += _time.time() - t0
+
+        stage = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sharding = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+            stage = lambda a: jax.device_put(a, sharding)
+
+        from treedetection_tpu.utils.profiling import profile_trace
+        with profile_trace(self.config.get("profile_dir")), \
+                ThreadPoolExecutor(max_workers=workers) as ex:
+            decode_q: "deque" = deque()
+            for _ in range(min(prefetch, n)):
+                decode_q.append(ex.submit(decode, next(work)))
+            done = 0
+            batch_items: List[Dict] = []
+            batch_arrays: List[np.ndarray] = []
+            sizes: List[Tuple[int, int]] = []
+            while decode_q:
+                it, tile, hw = decode_q.popleft().result()
+                nxt = next(work, None)
+                if nxt is not None:
+                    decode_q.append(ex.submit(decode, nxt))
+                batch_items.append(it)
+                batch_arrays.append(tile)
+                sizes.append(hw)
+                done += 1
+                if len(batch_items) == bs or not decode_q:
+                    while len(batch_arrays) < bs:  # static batch shape
+                        batch_arrays.append(np.zeros((pad, pad, 3),
+                                                     dtype=np.uint8))
+                    stacked = np.stack(batch_arrays)
+                    batch = stage(stacked) if stage else jnp.asarray(stacked)
+                    device_out = run_batch(batch)
+                    # overlap: finalize previous batch while this one runs
+                    if pending:
+                        flush(*pending.pop())
+                    pending.append((batch_items, device_out, sizes))
+                    batch_items, batch_arrays, sizes = [], [], []
+                    if self.logger and n >= 20 and done % max(1, n // 20) == 0:
+                        self.logger.info(
+                            f"Prediction progress {Path(tifpath).stem}: "
+                            f"{done}/{n} tiles")
+            while pending:
+                flush(*pending.pop())
         src.close()
+        stats["wall_s"] = __import__("time").time() - t_start
+        LAST_RUN_STATS.clear()
+        LAST_RUN_STATS.update(stats)
+        if self.logger:
+            self.logger.debug(
+                f"Predictor stats {Path(tifpath).stem}: {n} tiles, "
+                f"compile {stats['compile_s']:.1f}s, dispatch "
+                f"{stats['dispatch_s']:.1f}s, flush {stats['flush_s']:.1f}s, "
+                f"wall {stats['wall_s']:.1f}s")
         return written
 
     # -- host-side polygonization -------------------------------------------
     def _write_tile_predictions(self, item: Dict[str, Any], boxes: np.ndarray,
                                 scores: np.ndarray, masks: np.ndarray,
                                 valid: np.ndarray, orig_size: Tuple[int, int],
-                                pad_px: int, tifpath: str, output_dir: str) -> None:
+                                box_scale: float, tifpath: str,
+                                output_dir: str) -> None:
         h, w = orig_size
-        size = self.cfg.input_size
-        # The jit input was the padded (pad_px, pad_px) tile resized to
-        # (size, size); the tile sits at the pad canvas top-left, so model
-        # coords map back to window pixels by the uniform factor pad_px/size.
+        # The jit input was the padded tile resized to the model's content
+        # area (full canvas in "fixed" mode, shortest-edge content otherwise);
+        # the tile sits at the canvas top-left, so model coords map back to
+        # window pixels by the uniform ``box_scale`` = pad / content.
         transform = Affine(*item["transform"])
         epsg = item["crs"]
         evaluations = []
@@ -238,7 +369,7 @@ class Predictor:
             if not valid[d] or scores[d] <= 0:
                 continue
             # box in model-input coords -> padded-tile pixel coords
-            box = np.asarray(boxes[d], dtype=np.float64) * (pad_px / size)
+            box = np.asarray(boxes[d], dtype=np.float64) * box_scale
             x0, y0, x1, y1 = box
             bw = max(int(math.ceil(x1)) - int(math.floor(x0)), 1)
             bh = max(int(math.ceil(y1)) - int(math.floor(y0)), 1)

@@ -177,11 +177,11 @@ def tile_data(config: Dict[str, Any],
               forest_outline: Optional[str] = None) -> List[str]:
     """Tile all images, honoring the tiling recovery manifest.
 
-    Multi-file driver (reference ``preprocessing.py:125-224``).  The reference
-    parallelized with a ThreadPool; file planning here is cheap (metadata only,
-    vectorized flags) so a simple loop with recovery skips suffices — the
-    multi-host sharding of the *file list* happens one level up in
-    ``parallel.partition_files``.
+    Multi-file driver (reference ``preprocessing.py:125-224``): files fan out
+    over a thread pool (planning is metadata-only but bounds/header reads are
+    I/O-bound at county scale); the recovery manifest is saved from the main
+    thread as results land.  Multi-host sharding of the *file list* happens
+    one level up in ``parallel.partition_files``.
     """
     logger = config.get("logger")
     tiles_dir = config["tiles_path"]
@@ -195,27 +195,37 @@ def tile_data(config: Dict[str, Any],
             logger.info(f"Loaded {len(forest_polys)} forest outline polygons")
 
     processed = load_recovery_data(tiles_dir, buffer, tile_w, tile_h)
-    out_files: List[str] = []
+    out_files: List[Optional[str]] = [None] * len(image_paths)
     done: List[str] = []
+    todo: List[Tuple[int, str]] = []
     for i, path in enumerate(image_paths):
         stem = Path(path).stem
         meta_path = os.path.join(tiles_dir, f"{stem}.json")
         if path in processed and os.path.exists(meta_path):
-            out_files.append(meta_path)
+            out_files[i] = meta_path
             done.append(path)
-            continue
-        try:
-            out_files.append(tile_single_file(
-                path, tiles_dir, buffer, tile_w, tile_h, forest_polys, logger))
-            done.append(path)
-        except (OSError, ValueError) as exc:  # keep county runs alive (ref preprocessing.py:189-193)
-            if logger:
-                logger.error(f"Tiling failed for {path}: {exc}")
-        if logger and len(image_paths) >= 20 and (i + 1) % max(1, len(image_paths) // 20) == 0:
-            logger.info(f"Tiling progress: {i + 1}/{len(image_paths)}")
-        save_recovery_data(tiles_dir, buffer, tile_w, tile_h,
-                           sorted(set(processed) | set(done)))
-    return out_files
+        else:
+            todo.append((i, path))
+
+    from concurrent.futures import ThreadPoolExecutor, as_completed
+    workers = max(min(int(config.get("num_workers") or 8), len(todo) or 1), 1)
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = {ex.submit(tile_single_file, path, tiles_dir, buffer, tile_w,
+                          tile_h, forest_polys, logger): (i, path)
+                for i, path in todo}
+        for k, fut in enumerate(as_completed(futs)):
+            i, path = futs[fut]
+            try:
+                out_files[i] = fut.result()
+                done.append(path)
+            except (OSError, ValueError) as exc:  # keep county runs alive (ref preprocessing.py:189-193)
+                if logger:
+                    logger.error(f"Tiling failed for {path}: {exc}")
+            if logger and len(todo) >= 20 and (k + 1) % max(1, len(todo) // 20) == 0:
+                logger.info(f"Tiling progress: {k + 1}/{len(todo)}")
+            save_recovery_data(tiles_dir, buffer, tile_w, tile_h,
+                               sorted(set(processed) | set(done)))
+    return [f for f in out_files if f is not None]
 
 
 def load_outline_polygons(path: str) -> List[np.ndarray]:

@@ -128,7 +128,9 @@ def process_and_stitch_predictions(config: Dict[str, Any],
     done = set(load_stitching_recovery_data(prediction_root))
     outputs: List[str] = []
     completed = list(done)
-    for i, name in enumerate(image_names):
+
+    todo: List[Tuple[str, str, str]] = []
+    for name in image_names:
         stem = Path(name).stem
         pred_dir = os.path.join(prediction_root, stem)
         out_gpkg = os.path.join(prediction_root, f"{stem}{suffix}.gpkg")
@@ -139,10 +141,23 @@ def process_and_stitch_predictions(config: Dict[str, Any],
             if logger:
                 logger.warning(f"No predictions folder for {name}")
             continue
-        n = stitch_image(pred_dir, out_gpkg, tolerance, logger=logger)
-        completed.append(stem)
-        save_stitching_recovery_data(prediction_root, completed)
-        if logger:
-            logger.info(f"Stitched {n} crowns for {stem} "
-                        f"({i + 1}/{len(image_names)})")
+        todo.append((stem, pred_dir, out_gpkg))
+
+    # file-level thread pool (reference used max_workers=50,
+    # ``helpers.py:556-580``); each image writes its own GPKG so the only
+    # shared state is the recovery manifest, saved from the main thread.
+    from concurrent.futures import ThreadPoolExecutor, as_completed
+    workers = max(min(int(config.get("num_workers") or 8), len(todo) or 1), 1)
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = {ex.submit(stitch_image, pred_dir, out_gpkg, tolerance,
+                          logger=logger): stem
+                for stem, pred_dir, out_gpkg in todo}
+        for i, fut in enumerate(as_completed(futs)):
+            stem = futs[fut]
+            n = fut.result()
+            completed.append(stem)
+            save_stitching_recovery_data(prediction_root, completed)
+            if logger:
+                logger.info(f"Stitched {n} crowns for {stem} "
+                            f"({i + 1}/{len(todo)})")
     return outputs
