@@ -1,16 +1,21 @@
 """Benchmark: 1024^2 RGB tile inference throughput per chip, end-to-end
 through the jitted pipeline (normalize -> resize -> Mask R-CNN R101-FPN ->
-NMS -> masks) plus host polygonization of the detections.
+NMS -> masks) plus host polygonization of the detections — and, on TPU, the
+REAL ``process_files`` pipeline rate on the bundled 1 km^2 sample
+(tile -> predict -> stitch -> postprocess), reported as
+``pipeline_tiles_per_sec``.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Baseline note: the reference publishes no numbers (BASELINE.md).  The
-``vs_baseline`` denominator is a documented estimate of the reference stack's
-throughput re-expressed in this metric's units: detectron2 Mask R-CNN
-R101-FPN with AMP on the reference dev GPU (RTX 4090, installations.md)
-sustains ~25 of its 450^2 tiles/sec at batch 10 ~= 4.8 equivalent 1024^2
-tiles/sec (pixel-normalized).  Replace with a measured number when the
-reference can be run on comparable hardware.
+Baseline note: the reference publishes no numbers (BASELINE.md), and its
+stack cannot run in this environment — detectron2/CuPy/rasterio are not
+installed and the image has no network egress to install them (verified:
+``pip download detectron2`` fails).  The ``vs_baseline`` denominator is
+therefore a documented estimate of the reference stack re-expressed in this
+metric's units: detectron2 Mask R-CNN R101-FPN with AMP on the reference dev
+GPU (RTX 4090, installations.md) sustains ~25 of its 450^2 tiles/sec at
+batch 10 ~= 4.8 equivalent 1024^2 tiles/sec (pixel-normalized).  The
+pipeline-level number is the committed MEASURED metric per BASELINE.md.
 """
 
 import json
@@ -20,6 +25,64 @@ import time
 import numpy as np
 
 REFERENCE_TILES_PER_SEC_1024 = 4.8  # estimated; see module docstring
+
+
+def bench_pipeline() -> dict:
+    """Measured ``process_files`` rate on the bundled 1 km^2 sample — the
+    committed pipeline metric (BASELINE.md 'first action': the reference
+    itself cannot run here, see module docstring)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(repo, "example"))
+    from example import ensure_sample_data
+    ensure_sample_data()
+
+    from treedetection_tpu.config import Config, get_config
+    from treedetection_tpu.detection import process_files
+    from treedetection_tpu import prediction
+    from treedetection_tpu.vector import read_gpkg
+
+    Config.reset()
+    config, _ = get_config(os.path.join(repo, "example", "config.yml"))
+    tmp = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        config["output_directory"] = os.path.join(tmp, "out")
+        config["tiles_path"] = os.path.join(tmp, "tiles")
+        config["keep_intermediate"] = True
+        config["continue"] = os.path.join(tmp, "continue.yml")
+        os.makedirs(config["output_directory"], exist_ok=True)
+        os.makedirs(config["tiles_path"], exist_ok=True)
+
+        t0 = time.time()
+        outputs = process_files(config)
+        wall = time.time() - t0
+
+        n_tiles = 0
+        for f in glob.glob(os.path.join(config["tiles_path"], "*.json")):
+            with open(f) as fh:
+                n_tiles += len(json.load(fh))
+        crowns = 0
+        for p in outputs:
+            if os.path.exists(p):
+                geoms, _, _ = read_gpkg(p)
+                crowns += len(geoms)
+        stats = dict(prediction.LAST_RUN_STATS)
+        compile_s = stats.get("compile_s", 0.0)
+        steady = n_tiles / max(wall - compile_s, 1e-9)
+        return {
+            "pipeline_tiles_per_sec": round(n_tiles / max(wall, 1e-9), 3),
+            "pipeline_tiles_per_sec_excl_compile": round(steady, 3),
+            "pipeline_wall_s": round(wall, 1),
+            "pipeline_compile_s": round(compile_s, 1),
+            "pipeline_tiles": n_tiles,
+            "pipeline_crowns": crowns,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> int:
@@ -59,24 +122,67 @@ def main() -> int:
 
     import os
     if os.environ.get("BENCH_DETAIL"):
-        # stage breakdown: backbone+rpn-head only vs full model
-        from treedetection_tpu.train.losses import _forward_features
+        # cumulative stage breakdown: each program truncates the forward after
+        # one more stage; successive differences localize the cost
+        from treedetection_tpu.models.mask_rcnn import FPN_STRIDES
+        from treedetection_tpu.models.rpn import generate_proposals
+        from treedetection_tpu.models.roi_heads import box_inference
+        from treedetection_tpu.ops.roi_align import multilevel_roi_align
 
-        @jax.jit
-        def backbone_only(t):
-            x = normalize_bgr(t)
-            feats, logits, deltas = model.apply(params, x,
-                                                method=_forward_features)
-            return logits[0].astype(jnp.float32).sum()
+        def _stage_fn(upto):
+            def fn(self, images):
+                c = self.cfg
+                feats = self.backbone(images.astype(c.dtype))
+                logits, deltas = self.rpn_head(feats)
+                if upto == "rpn":
+                    return logits[0].astype(jnp.float32).sum()
 
-        float(backbone_only(tiles))
-        ts = []
-        for _ in range(3):
-            t0 = time.time()
-            float(backbone_only(tiles))
-            ts.append(time.time() - t0)
-        print(f"bench-detail: backbone+rpn_head {np.median(ts) * 1e3:.1f}ms/batch",
-              file=sys.stderr)
+                def per_image(f_img, lg, dl):
+                    props = generate_proposals(
+                        lg, dl, self._anchors, c.input_size,
+                        c.rpn_pre_nms_topk, c.rpn_post_nms_topk,
+                        c.rpn_nms_threshold)
+                    if upto == "proposals":
+                        return props.scores.astype(jnp.float32).sum()
+                    pooled = multilevel_roi_align(
+                        [f.astype(c.dtype) for f in f_img[:4]], props.boxes,
+                        c.box_pool, FPN_STRIDES[:4])
+                    if upto == "boxpool":
+                        return pooled.astype(jnp.float32).sum()
+                    cls_logits, box_deltas = self.box_head(pooled.astype(c.dtype))
+                    det = box_inference(
+                        cls_logits, box_deltas, props.boxes, props.scores,
+                        c.input_size, c.score_threshold, c.nms_threshold,
+                        c.max_detections)
+                    if upto == "boxhead":
+                        return det.scores.astype(jnp.float32).sum()
+                    mask_pooled = multilevel_roi_align(
+                        [f.astype(c.dtype) for f in f_img[:4]], det.boxes,
+                        c.mask_pool, FPN_STRIDES[:4])
+                    ml = self.mask_head(mask_pooled.astype(c.dtype))
+                    return ml.astype(jnp.float32).sum()
+
+                return jax.vmap(per_image)(feats, logits, deltas).sum()
+            return fn
+
+        prev = 0.0
+        for upto in ("rpn", "proposals", "boxpool", "boxhead", "maskhead"):
+            method = _stage_fn(upto)
+
+            @jax.jit
+            def staged(t, _m=method):
+                return model.apply(params, normalize_bgr(t), method=_m)
+
+            float(staged(tiles))  # compile
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                float(staged(tiles))
+                ts.append(time.time() - t0)
+            cur = float(np.median(ts)) * 1e3
+            print(f"bench-detail: ..{upto:<10} {cur:7.1f}ms/batch "
+                  f"(+{cur - prev:6.1f}ms)", file=sys.stderr)
+            prev = cur
 
     t0 = time.time()
     out = forward(tiles)
@@ -145,6 +251,16 @@ def main() -> int:
         "tunnel_e2e_tiles_per_sec": round(batch / tunnel_total, 3),
         "p50_per_tile_ms": round(compute_total / batch * 1e3, 1),
     }
+
+    # measured process_files pipeline rate on the 1 km^2 sample (TPU only:
+    # on the CPU harness the compile alone dwarfs the budget)
+    if not on_cpu:
+        try:
+            result.update(bench_pipeline())
+        except Exception as exc:  # never lose the chip metric to a pipeline bug
+            print(f"bench: pipeline benchmark failed: {exc}", file=sys.stderr)
+            result["pipeline_error"] = str(exc)[:200]
+
     print(json.dumps(result))
     return 0
 

@@ -49,6 +49,108 @@ class TestMesh:
                                    rtol=1e-4, atol=1e-3)
 
 
+class TestShardedPredictor:
+    def test_predictor_mesh_inference_matches_single_device(self, tmp_path, rng):
+        """The full Predictor pipeline path on an 8-device mesh
+        (``mesh_shape: {data: 8}``) writes the same per-tile predictions as
+        the single-device path (VERDICT r1 item 2)."""
+        import json
+        import os
+        from treedetection_tpu.geo import Affine, write_geotiff
+        from treedetection_tpu.prediction import Predictor
+        from treedetection_tpu.preprocessing import tile_single_file
+
+        t = Affine.from_origin(0.0, 100.0, 1.0, 1.0)
+        img = rng.integers(0, 255, (100, 100, 3), dtype=np.uint8)
+        tif = str(tmp_path / "img.tif")
+        write_geotiff(tif, img, t, crs=25832)
+        meta = tile_single_file(tif, str(tmp_path / "tiles"), 10, 30, 30,
+                                None, None)
+
+        base = {"model_depth": 50, "model_input_size": 128,
+                "rpn_pre_nms_topk": 64, "rpn_post_nms_topk": 32,
+                "max_detections": 8, "mixed_precision": False,
+                "batch_size": 4, "confidence_threshold_stitching": 0.05,
+                "num_workers": 2}
+        single = Predictor({**base, "mesh_shape": {"data": 1}})
+        assert single.mesh is None
+        meshed = Predictor({**base, "mesh_shape": {"data": 8}})
+        assert meshed.mesh is not None and meshed.mesh.size == 8
+        assert meshed.batch_size == 8  # rounded up to a mesh multiple
+
+        d1 = str(tmp_path / "out_single")
+        d8 = str(tmp_path / "out_mesh")
+        n1 = single(tif, meta, d1)
+        n8 = meshed(tif, meta, d8)
+        assert n1 == n8 > 0
+
+        files1 = sorted(os.listdir(d1))
+        assert files1 == sorted(os.listdir(d8))
+        total = 0
+        for f in files1:
+            with open(os.path.join(d1, f)) as fh:
+                a = json.load(fh)
+            with open(os.path.join(d8, f)) as fh:
+                b = json.load(fh)
+            assert len(a) == len(b)
+            total += len(a)
+            for da, db in zip(a, b):
+                assert da["score"] == pytest.approx(db["score"], abs=1e-5)
+                ca = np.asarray(da["polygon_coords"][0])
+                cb = np.asarray(db["polygon_coords"][0])
+                assert ca.shape == cb.shape
+                np.testing.assert_allclose(ca, cb, atol=1e-6)
+
+
+class TestResizeModes:
+    def test_shortest_edge_mode(self, tmp_path, rng):
+        """``test_resize: shortest_edge`` scales content by the detectron2
+        ResizeShortestEdge rule and places it in the static canvas; boxes map
+        back through the content scale (reference prediction.py:169)."""
+        import json
+        import os
+        from treedetection_tpu.geo import Affine, write_geotiff
+        from treedetection_tpu.prediction import Predictor
+        from treedetection_tpu.preprocessing import tile_single_file
+
+        t = Affine.from_origin(0.0, 100.0, 1.0, 1.0)
+        img = rng.integers(0, 255, (100, 100, 3), dtype=np.uint8)
+        tif = str(tmp_path / "img.tif")
+        write_geotiff(tif, img, t, crs=25832)
+        meta = tile_single_file(tif, str(tmp_path / "tiles"), 10, 30, 30,
+                                None, None)
+        cfg = {"model_depth": 50, "model_input_size": 128,
+               "rpn_pre_nms_topk": 64, "rpn_post_nms_topk": 32,
+               "max_detections": 8, "mixed_precision": False,
+               "batch_size": 4, "mesh_shape": {"data": 1},
+               "test_resize": "shortest_edge", "resize_shortest_edge": 100,
+               "resize_max_size": 160, "num_workers": 2}
+        p = Predictor(cfg)
+        # window 30+2*10 = 50 px -> pad 56 canonical; content = min(100, 128)
+        fn, scale = p._get_forward(56)
+        assert scale == pytest.approx(56 / 100)
+        # big window: shortest-edge target 100 -> content 100, back-scale 2x
+        fn2, scale2 = p._get_forward(200)
+        assert scale2 == pytest.approx(200 / 100)
+        # square windows: content = min(shortest_edge, canvas) regardless
+        fn3, scale3 = p._get_forward(96)
+        assert scale3 == pytest.approx(96 / 100)
+        # a shortest-edge target beyond the canvas clamps to the canvas
+        p2 = Predictor({**cfg, "resize_shortest_edge": 150})
+        _, scale4 = p2._get_forward(96)
+        assert scale4 == pytest.approx(96 / 128)
+        out_dir = str(tmp_path / "preds")
+        n = p(tif, meta, out_dir)
+        assert n > 0
+        # written predictions are well-formed geo polygons
+        for f in os.listdir(out_dir):
+            with open(os.path.join(out_dir, f)) as fh:
+                for det in json.load(fh):
+                    c = np.asarray(det["polygon_coords"][0])
+                    assert np.isfinite(c).all() and len(c) >= 4
+                    assert 0.0 < det["score"] <= 1.0
+
+
 class TestFilePartition:
     def test_from_env(self, monkeypatch):
         monkeypatch.setenv("TREEDETECTION_NUM_HOSTS", "4")
@@ -59,6 +161,23 @@ class TestFilePartition:
 
 
 class TestCheckpoint:
+    def test_npz_roundtrip(self, tmp_path):
+        from treedetection_tpu.models.convert import (
+            load_checkpoint, save_checkpoint_npz)
+        model, params = create_model(TINY)
+        p = str(tmp_path / "model.npz")
+        save_checkpoint_npz(p, jax.device_get(params))
+        restored = load_checkpoint(p)
+        orig = jax.tree.leaves(params)
+        back = jax.tree.leaves(restored)
+        assert jax.tree.structure(params) == jax.tree.structure(restored)
+        for a, b in zip(orig, back):
+            assert b.dtype == jnp.float32  # loaded fp32 for bf16 compute
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+        # the restored tree actually drives the model
+        out = model.apply(restored, jnp.zeros((1, 128, 128, 3)))
+        assert np.isfinite(np.asarray(out.scores)).all()
+
     def test_orbax_roundtrip(self, tmp_path):
         from treedetection_tpu.train.train import save_checkpoint
         from treedetection_tpu.models.convert import load_checkpoint

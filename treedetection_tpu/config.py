@@ -282,6 +282,18 @@ class ModelSpec:
     pixel_mean: Tuple[float, ...] = (103.53, 116.28, 123.675)
     pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
     bf16: bool = True
+    # Test-time resize semantics (reference ``prediction.py:169`` pushes tiles
+    # through detectron2 ``ResizeShortestEdge(800, 1333)``):
+    # * "fixed"        — scale the tile window to fill the full input canvas
+    #                    (the native mode for checkpoints trained at
+    #                    ``input_size``; validated TPU shape)
+    # * "shortest_edge" — reproduce the reference scaling: content scaled by
+    #                    min(shortest_edge/side, max_size/side), placed
+    #                    top-left in the static canvas, rest zero-padded
+    #                    (use for converted detectron2 checkpoints)
+    test_resize: str = "fixed"
+    resize_shortest_edge: int = 800
+    resize_max_size: int = 1333
 
 
 def model_spec(config: Dict[str, Any]) -> ModelSpec:
@@ -300,5 +312,8 @@ def model_spec(config: Dict[str, Any]) -> ModelSpec:
         post_nms_topk=int(config.get("rpn_post_nms_topk", 1000)),
         max_detections=int(config.get("max_detections", 100)),
         bf16=bool(config.get("mixed_precision", True)),
+        test_resize=str(config.get("test_resize", "fixed")),
+        resize_shortest_edge=int(config.get("resize_shortest_edge", 800)),
+        resize_max_size=int(config.get("resize_max_size", 1333)),
         **overrides,
     )

@@ -36,7 +36,13 @@ def _predictions_dir(config: Dict[str, Any]) -> str:
 
 def _list_images(config: Dict[str, Any]) -> Tuple[List[str], List[str]]:
     """Glob + continue-filter + merged-strip inclusion for both directories
-    (reference ``detection.py:277-285``)."""
+    (reference ``detection.py:277-285``).
+
+    On a multi-host run each process sees only its deterministic slice of the
+    image list (``parallel.partition_files`` — the multi-host replacement for
+    the reference's ThreadPool file loop); height rasters are NOT partitioned
+    because any image may need any height twin for regex matching.
+    """
     images = sorted(glob.glob(os.path.join(config["image_directory"], "*.tif")))
     heights = sorted(glob.glob(os.path.join(config["height_data_path"], "*.tif")))
     merged = config.get("merged_path", "merged")
@@ -47,6 +53,13 @@ def _list_images(config: Dict[str, Any]) -> Tuple[List[str], List[str]]:
     skip = set(recoveries.load_continue_file(config.get("continue")))
     images = [p for p in images if os.path.basename(p) not in skip
               and p not in skip]
+    from treedetection_tpu.parallel import partition_files
+    num_hosts = int(os.environ.get("TREEDETECTION_NUM_HOSTS", 0))
+    if not num_hosts:
+        import jax
+        num_hosts = jax.process_count()
+    if num_hosts > 1:
+        images = partition_files(images, num_hosts=num_hosts)
     return images, heights
 
 
@@ -251,6 +264,8 @@ def process_files(config: Dict[str, Any]) -> List[str]:
     """Full pipeline with per-stage timing (reference ``detection.py:342-373``)."""
     Config()._load_into_config(config)
     logger = config.get("logger")
+    from treedetection_tpu.parallel import ensure_distributed
+    ensure_distributed(config, logger)
     t0 = time.time()
     preprocess_files(config)
     t1 = time.time()

@@ -186,14 +186,51 @@ def _tree_map_np(fn, tree):
     return fn(tree)
 
 
+def save_checkpoint_npz(path: str, params: Dict[str, Any],
+                        dtype=np.float16) -> None:
+    """Serialize a param pytree to one compressed ``.npz`` (keys are
+    ``/``-joined paths).  fp16 storage halves the file — safe for inference
+    checkpoints that run in bfloat16 anyway."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def rec(prefix, tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                rec(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(tree).astype(dtype)
+
+    rec("", params)
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **flat)
+    import os
+    os.replace(tmp, path)
+
+
+def _load_npz_checkpoint(path: str) -> Dict[str, Any]:
+    import jax.numpy as jnp
+    out: Dict[str, Any] = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(z[key], dtype=jnp.float32)
+    return out
+
+
 def load_checkpoint(path: str, depth: int = 101) -> Dict[str, Any]:
-    """Load a model checkpoint: detectron2 ``.pth`` (torch) or our own
-    orbax/msgpack format (``.ckpt``/directory)."""
+    """Load a model checkpoint: detectron2 ``.pth`` (torch), compact ``.npz``
+    (:func:`save_checkpoint_npz`), or our own orbax format
+    (``.ckpt``/directory)."""
     if path.endswith(".pth") or path.endswith(".pkl"):
         import torch
         blob = torch.load(path, map_location="cpu", weights_only=False)
         sd = blob.get("model", blob) if isinstance(blob, dict) else blob
         return convert_detectron2_state_dict(sd, depth=depth)
+    if path.endswith(".npz"):
+        return _load_npz_checkpoint(path)
     # orbax checkpoint directory
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()

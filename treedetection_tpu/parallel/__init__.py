@@ -14,4 +14,5 @@ The reference's concurrency story was ThreadPools over files + one GPU
 """
 
 from treedetection_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, shard_batch, replicate, partition_files, sharded_forward)
+    ensure_distributed, make_mesh, shard_batch, replicate, partition_files,
+    sharded_forward)

@@ -57,6 +57,29 @@ def sharded_forward(model, mesh: Mesh, axis: str = "data") -> Callable:
     return fwd
 
 
+def ensure_distributed(config: Optional[Dict[str, Any]] = None,
+                       logger=None) -> bool:
+    """Initialize ``jax.distributed`` once for multi-host runs.
+
+    Triggered by ``multihost: true`` in the YAML config or the standard
+    coordinator env (``JAX_COORDINATOR_ADDRESS``); a no-op single-host
+    otherwise.  Returns True when running multi-process."""
+    if jax.process_count() > 1:
+        return True
+    want = bool((config or {}).get("multihost")) or \
+        bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if not want:
+        return False
+    try:
+        jax.distributed.initialize()
+    except (RuntimeError, ValueError) as exc:
+        if logger:
+            logger.warning(f"jax.distributed.initialize failed: {exc}; "
+                           f"continuing single-host")
+        return False
+    return jax.process_count() > 1
+
+
 def partition_files(files: Sequence[str],
                     host_id: Optional[int] = None,
                     num_hosts: Optional[int] = None) -> List[str]:

@@ -41,14 +41,17 @@ def _crowns_in_tile(crowns: List[np.ndarray],
 def make_training_tiles(image_path: str, crowns_gpkg: str,
                         tile_size_m: float = 50.0, buffer_m: float = 20.0,
                         input_size: int = 1024, max_gt: int = 64,
-                        min_crowns: int = 1
+                        min_crowns: int = 1, store_uint8: bool = False
                         ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield per-tile training examples from one (raster, annotations) pair.
 
-    Each example: image (S, S, 3) float32 BGR-normalized later by the step,
-    boxes (max_gt, 4) in input-pixel coords, masks (max_gt, S/4, S/4) float32,
-    valid (max_gt,) bool.  Tiles without annotations are skipped (the
-    reference's tiler also drops empty tiles).
+    Each example: image (S, S, 3) — float32 BGR-normalized, or raw uint8 RGB
+    when ``store_uint8`` (4x smaller shards + host->device transfers; the
+    train step normalizes on device, matching the inference path's uint8
+    upload) — boxes (max_gt, 4) in input-pixel coords, masks
+    (max_gt, S/4, S/4) float32 (uint8 0/1 when ``store_uint8``), valid
+    (max_gt,) bool.  Tiles without annotations are skipped (the reference's
+    tiler also drops empty tiles).
     """
     from treedetection_tpu.vector.polygon import polygons_bounds, ensure_open
     src = GeoTiff(image_path)
@@ -77,21 +80,29 @@ def make_training_tiles(image_path: str, crowns_gpkg: str,
             img = arr[:, :, :3].astype(np.float32)
             if arr.dtype == np.uint16:
                 img = img / 257.0
-            # normalize exactly like the inference path (BGR order, caffe
-            # pixel means) so shards feed the train step directly; divide by
-            # the torchvision std so random-init training sees unit-variance
-            # inputs (frozen BN provides no normalization) - serve such
-            # checkpoints with pixel_std: [57.375, 57.12, 58.395] in the config
-            img = (img[:, :, ::-1]
-                   - np.asarray([103.53, 116.28, 123.675], dtype=np.float32)
-                   ) / np.asarray([57.375, 57.12, 58.395], dtype=np.float32)
             # resize to the static input size on host (training tiles are cut
             # once; the jitted step gets fixed shapes)
             sy, sx = input_size / h, input_size / w
-            img = _resize_image(img, input_size, input_size)
+            if store_uint8:
+                # raw RGB uint8; the train step normalizes on device (BGR
+                # order, caffe means, torchvision std — see train.train)
+                img = np.clip(_resize_image(img, input_size, input_size),
+                              0, 255).astype(np.uint8)
+            else:
+                # normalize exactly like the inference path (BGR order, caffe
+                # pixel means) so shards feed the train step directly; divide
+                # by the torchvision std so random-init training sees
+                # unit-variance inputs (frozen BN provides no normalization) -
+                # serve such checkpoints with
+                # pixel_std: [57.375, 57.12, 58.395] in the config
+                img = (img[:, :, ::-1]
+                       - np.asarray([103.53, 116.28, 123.675], dtype=np.float32)
+                       ) / np.asarray([57.375, 57.12, 58.395], dtype=np.float32)
+                img = _resize_image(img, input_size, input_size)
 
+            mask_dtype = np.uint8 if store_uint8 else np.float32
             boxes = np.zeros((max_gt, 4), dtype=np.float32)
-            masks = np.zeros((max_gt, mask_size, mask_size), dtype=np.float32)
+            masks = np.zeros((max_gt, mask_size, mask_size), dtype=mask_dtype)
             valid = np.zeros((max_gt,), dtype=bool)
             inv = wt.invert()
             mask_t = Affine(wt.a * w / mask_size, wt.b, wt.c,

@@ -105,15 +105,32 @@ def make_optimizer(tc: TrainConfig, params: Dict) -> optax.GradientTransformatio
         {"train": sgd, "frozen": optax.set_to_zero()}, labels)
 
 
+def _prep_batch(batch):
+    """Device-side input prep: uint8 raw-RGB shards are normalized here (BGR
+    order + caffe means + torchvision std — the host-side twin lives in
+    ``train.data.make_training_tiles``), float shards pass through; masks cast
+    to float32.  Keeps host->device transfers at uint8 width."""
+    img = batch["image"]
+    if img.dtype == jnp.uint8:
+        from treedetection_tpu.ops.image import TRAIN_PIXEL_STD_BGR, normalize_bgr
+        img = normalize_bgr(img, pixel_std=TRAIN_PIXEL_STD_BGR)
+    masks = batch["masks"]
+    if masks.dtype != jnp.float32:
+        masks = masks.astype(jnp.float32)
+    return img, masks
+
+
 def make_train_step(model: MaskRCNN, optimizer: optax.GradientTransformation
                     ) -> Callable:
     """Build the jittable train step: (params, opt_state, batch, rng) ->
     (params, opt_state, metrics)."""
 
     def step(params, opt_state, batch, rng):
+        image, masks = _prep_batch(batch)
+
         def loss_fn(p):
             return mask_rcnn_losses(
-                model, p, batch["image"], batch["boxes"], batch["masks"],
+                model, p, image, batch["boxes"], masks,
                 batch["valid"], rng)
 
         (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -176,12 +193,23 @@ def train_model(dataset: Iterable[Dict[str, np.ndarray]],
     it = 0
     data_iter = iter(dataset)
     t0 = time.time()
-    while it < tc.max_iter:
+
+    def next_host_batch():
+        nonlocal data_iter
         try:
-            batch = next(data_iter)
+            return next(data_iter)
         except StopIteration:
             data_iter = iter(dataset)
-            batch = next(data_iter)
+            return next(data_iter)
+
+    # double-buffered host->device prefetch: batch k+1 uploads (async
+    # device_put) while step k computes — on remote/tunneled backends the
+    # upload otherwise serializes with the step and dominates wall-clock
+    staged = jax.device_put(next_host_batch())
+    while it < tc.max_iter:
+        batch = staged
+        if it + 1 < tc.max_iter:
+            staged = jax.device_put(next_host_batch())
         rng, sub = jax.random.split(rng)
         params, opt_state, metrics = step_fn(params, opt_state, batch, sub)
         it += 1
@@ -213,8 +241,9 @@ def train_model(dataset: Iterable[Dict[str, np.ndarray]],
 def step_loss_only(model):
     @jax.jit
     def f(params, batch, rng):
-        total, _ = mask_rcnn_losses(model, params, batch["image"],
-                                    batch["boxes"], batch["masks"],
+        image, masks = _prep_batch(batch)
+        total, _ = mask_rcnn_losses(model, params, image,
+                                    batch["boxes"], masks,
                                     batch["valid"], rng)
         return total
     return f
