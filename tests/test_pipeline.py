@@ -94,6 +94,27 @@ class TestPostprocessing:
         assert props[0]["Area"] == pytest.approx(64.0, rel=1e-3)
         assert props[0]["Diameter"] == pytest.approx(2 * np.sqrt(64 / np.pi), rel=1e-3)
 
+    def test_utm_magnitude_coordinates(self):
+        """Real-world UTM coords (~5.3e6 m northing) must survive the float32
+        device math: a regression for the local-frame shift (without it,
+        shoelace/stat cancellation at that magnitude reported garbage areas
+        and the example pipeline filtered every crown)."""
+        from treedetection_tpu.postprocessing import process_crowns
+        ox, oy = 412000.0, 5317000.0
+        t = Affine.from_origin(ox, oy + 100, 1.0, 1.0)
+        height = np.full((100, 100), 10.0, dtype=np.float32)
+        crowns = [square(ox + 6, oy + 6, 8), square(ox + 30, oy + 30, 9)]
+        scores = np.array([0.9, 0.8], dtype=np.float32)
+        geoms, props = process_crowns(
+            crowns, scores, self._config(), height, t, None, None,
+            (ox, oy, ox + 100, oy + 100))
+        assert len(geoms) == 2
+        assert props[0]["Area"] == pytest.approx(64.0, rel=1e-3)
+        assert props[1]["Area"] == pytest.approx(81.0, rel=1e-3)
+        assert props[0]["TreeHeight"] == pytest.approx(10.0, abs=0.1)
+        # centroid back in the global frame
+        assert f"'x': {ox + 10.0}" in props[0]["Centroid"]
+
     def test_height_gate(self):
         from treedetection_tpu.postprocessing import process_crowns
         t = Affine.from_origin(0, 100, 1.0, 1.0)

@@ -274,12 +274,20 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
     if not crowns:
         return [], []
 
+    # Device math runs in float32, where UTM-magnitude coordinates (~5e6 m
+    # northing) have an ulp of 0.5 m — shoelace/stat cancellation at that
+    # magnitude produces garbage.  Shift everything into a per-file LOCAL
+    # frame first (areas/IoU/stats are translation-invariant); the raster
+    # affines and bounds shift by the same offset below.
+    offset = np.floor(np.min(np.asarray(
+        [c.min(axis=0) for c in crowns], dtype=np.float64), axis=0))
+    local = [c - offset for c in crowns]
     max_pts = max(len(c) for c in crowns) + 1  # +1 NaN slot for ring closing
-    ps = PolygonSet.from_list(crowns, max_points=max_pts, dtype=np.float32)
+    ps = PolygonSet.from_list(local, max_points=max_pts, dtype=np.float32)
     polys_j = jnp.asarray(ps.coords)
     areas = np.asarray(polygon_areas_batch(polys_j))
     bounds = ps.bounds()
-    centroids = np.asarray(polygon_centroids_batch(polys_j))
+    centroids = np.asarray(polygon_centroids_batch(polys_j)) + offset[None, :]
 
     area_lo = float(config.get("area_threshold", 1))
     keep = (areas >= area_lo) & (areas <= AREA_UPPER_BOUND)
@@ -297,24 +305,30 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
     argmax_xy = np.zeros((len(crowns), 2), dtype=np.float32)
     mean_ndvi = np.full(len(crowns), -1.0, dtype=np.float32)
     var_ndvi = np.full(len(crowns), -1.0, dtype=np.float32)
+    def _local_affine(t: Affine) -> Affine:
+        # same local frame as the polygons (float32-safe magnitudes)
+        return Affine(t.a, t.b, t.c - offset[0], t.d, t.e, t.f - offset[1])
+
     if height_raster is not None:
         st = polygon_raster_stats_batch(
             polys_j, jnp.asarray(height_raster, dtype=jnp.float32),
-            jnp.asarray(list(height_affine), dtype=jnp.float32),
+            jnp.asarray(list(_local_affine(height_affine)), dtype=jnp.float32),
             compat_circle=compat_circle)
         heights = np.asarray(st.max)
-        argmax_xy = np.asarray(st.argmax_xy)
+        argmax_xy = np.asarray(st.argmax_xy) + offset[None, :]
     if ndvi_raster is not None:
         st = polygon_raster_stats_batch(
             polys_j, jnp.asarray(ndvi_raster, dtype=jnp.float32),
-            jnp.asarray(list(ndvi_affine), dtype=jnp.float32),
+            jnp.asarray(list(_local_affine(ndvi_affine)), dtype=jnp.float32),
             compat_circle=compat_circle)
         mean_ndvi = np.asarray(st.mean)
         var_ndvi = np.asarray(st.var)
 
-    # border/overlap exclusion
+    # border/overlap exclusion (same local frame as the polygon bounds)
     if raster_bounds is not None:
-        keep &= border_overlap_exclusion(bounds, raster_bounds, config,
+        rb_local = (raster_bounds[0] - offset[0], raster_bounds[1] - offset[1],
+                    raster_bounds[2] - offset[0], raster_bounds[3] - offset[1])
+        keep &= border_overlap_exclusion(bounds, rb_local, config,
                                          is_merged_strip)
 
     # height gate (-1 = no data passes; reference postprocessing.py:609-610)
