@@ -10,6 +10,7 @@ changing the library API::
     treedetection postprocess config.yml         # stage 3 only
     treedetection eval PRED.gpkg GT.gpkg         # score an output layer
     treedetection voronoi NDSM.tif OUT.gpkg      # nDSM autolabels
+    treedetection autolabel IMGDIR ANNDIR OUT    # box-prompted autolabel+eval
     treedetection bench                          # one-line JSON benchmark
 """
 
@@ -46,6 +47,17 @@ def main(argv=None) -> int:
     p.add_argument("--canopy-threshold", type=float, default=2.5)
     p.add_argument("--min-seed-height", type=float, default=3.0)
 
+    p = sub.add_parser("autolabel",
+                       help="Cambridge-style per-image autolabel + eval "
+                            "(box prompts from annotations)")
+    p.add_argument("image_dir", help="directory of .tif images")
+    p.add_argument("annotation_dir", help="directory of per-image .gpkg")
+    p.add_argument("out_dir", help="output directory for autolabel GPKGs")
+    p.add_argument("--sam-checkpoint",
+                   help="segment_anything checkpoint (default: first-party "
+                        "region-grow generator)")
+    p.add_argument("--sam-model-type", default="vit_h")
+
     sub.add_parser("bench", help="run the one-line JSON benchmark")
 
     args = parser.parse_args(argv)
@@ -76,6 +88,21 @@ def main(argv=None) -> int:
                                     canopy_threshold=args.canopy_threshold,
                                     min_seed_height=args.min_seed_height)
         print(f"{n} crowns -> {args.output}")
+        return 0
+
+    if args.command == "autolabel":
+        import logging
+        logging.basicConfig(level=logging.INFO)
+        gen = None
+        if args.sam_checkpoint:
+            from treedetection_tpu.autolabel import SamMaskGenerator
+            gen = SamMaskGenerator(args.sam_checkpoint,
+                                   model_type=args.sam_model_type)
+        from treedetection_tpu.autolabel import autolabel_directory
+        rows = autolabel_directory(args.image_dir, args.annotation_dir,
+                                   args.out_dir, mask_generator=gen,
+                                   logger=logging.getLogger("autolabel"))
+        print(json.dumps(rows, indent=1))
         return 0
 
     if args.command == "bench":
