@@ -90,8 +90,7 @@ def main() -> int:
     import jax.numpy as jnp
     from treedetection_tpu.models.mask_rcnn import MaskRCNNConfig, create_model
     from treedetection_tpu.ops.image import normalize_bgr
-    from treedetection_tpu.prediction import _resize_mask_np
-    from treedetection_tpu.native import trace_contours
+    from treedetection_tpu.native import resize_threshold_mask, trace_contours
 
     backend = jax.default_backend()
     on_cpu = backend == "cpu"
@@ -225,10 +224,9 @@ def main() -> int:
             box = np.asarray(host_out.boxes[b, d])
             bw = max(int(box[2] - box[0]), 1)
             bh = max(int(box[3] - box[1]), 1)
-            m = _resize_mask_np(np.asarray(host_out.masks[b, d],
-                                           dtype=np.float32),
-                                min(bh, 512), min(bw, 512))
-            n_polys += len(trace_contours((m > 127.5).astype(np.uint8)))
+            binary = resize_threshold_mask(np.asarray(host_out.masks[b, d]),
+                                           min(bh, 512), min(bw, 512))
+            n_polys += len(trace_contours(binary))
     host_time = time.time() - t0
 
     tunnel_total = device_time + host_time

@@ -85,3 +85,30 @@ class TestNativeLZW:
         payload = b"\x00" * 10000 + bytes(range(256)) * 8
         encoded = _lzw_encode_ref(payload)
         assert lzw_decode(encoded, len(payload)) == payload
+
+
+class TestResizeThreshold:
+    def test_matches_numpy_fallback(self):
+        from treedetection_tpu.native import get_lib, resize_threshold_mask
+        from treedetection_tpu.prediction import _resize_mask_np
+        rng = np.random.default_rng(0)
+        soft = rng.integers(0, 255, (28, 28), dtype=np.uint8)
+        for oh, ow in ((28, 28), (90, 61), (7, 150), (300, 300)):
+            got = resize_threshold_mask(soft, oh, ow)
+            want = (_resize_mask_np(soft.astype(np.float32), oh, ow)
+                    > 127.5).astype(np.uint8)
+            if get_lib() is None:
+                assert np.array_equal(got, want)  # fallback path trivially
+            else:
+                # float32 C path vs float64 numpy: only boundary-epsilon
+                # pixels may differ
+                assert (got != want).mean() < 0.02, (oh, ow)
+
+    def test_binary_mask_passthrough(self):
+        from treedetection_tpu.native import resize_threshold_mask
+        m = np.zeros((28, 28), dtype=np.uint8)
+        m[8:20, 8:20] = 255
+        out = resize_threshold_mask(m, 56, 56)
+        assert out.dtype == np.uint8
+        assert set(np.unique(out)) <= {0, 1}
+        assert out[28, 28] == 1 and out[2, 2] == 0

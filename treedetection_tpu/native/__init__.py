@@ -72,6 +72,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.td_lzw_decode.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+        lib.td_resize_threshold.restype = ctypes.c_int
+        lib.td_resize_threshold.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_float]
         _lib = lib
         return _lib
 
@@ -107,6 +112,26 @@ def trace_contours(mask: np.ndarray, include_holes: bool = True
             off += k
         return contours
     return _trace_contours_cv2(mask)
+
+
+def resize_threshold_mask(mask: np.ndarray, out_h: int, out_w: int,
+                          thresh: float = 127.5) -> np.ndarray:
+    """Soft uint8 mask -> bilinear resize -> 0/1 binary mask, in one native
+    pass (the per-detection host hot loop of mask polygonization; numpy
+    fallback matches bit-for-bit)."""
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "td_resize_threshold"):
+        out = np.empty((out_h, out_w), dtype=np.uint8)
+        lib.td_resize_threshold(
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            mask.shape[0], mask.shape[1],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out_h, out_w, ctypes.c_float(thresh))
+        return out
+    from treedetection_tpu.prediction import _resize_mask_np
+    m = _resize_mask_np(mask.astype(np.float32), out_h, out_w)
+    return (m > thresh).astype(np.uint8)
 
 
 def _trace_contours_cv2(mask: np.ndarray) -> List[np.ndarray]:

@@ -17,6 +17,7 @@
 //
 // Also exports td_lzw_decode (TIFF LZW fast path for geo/tiff.py).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -109,6 +110,45 @@ void compress(const std::vector<int32_t>& in, std::vector<int32_t>& out) {
 
 extern "C" {
 
+// Bilinear-resize a soft uint8 mask (e.g. the model's 28x28 sigmoid*255)
+// to (out_h, out_w) and threshold to a 0/1 binary mask in one pass —
+// half-pixel-center sampling identical to the numpy fallback
+// (treedetection_tpu.prediction._resize_mask_np).
+int td_resize_threshold(const uint8_t* mask, int in_h, int in_w,
+                        uint8_t* out, int out_h, int out_w, float thresh) {
+  std::vector<int> x0(out_w), x1(out_w);
+  std::vector<float> lx(out_w);
+  for (int j = 0; j < out_w; ++j) {
+    float sx = (j + 0.5f) * in_w / out_w - 0.5f;
+    int xx0 = (int)std::floor(sx);
+    float f = sx - xx0;
+    if (xx0 < 0) { xx0 = 0; f = 0.f; }
+    if (xx0 > in_w - 1) xx0 = in_w - 1;
+    if (f > 1.f) f = 1.f;
+    int xx1 = xx0 + 1 < in_w ? xx0 + 1 : in_w - 1;
+    x0[j] = xx0; x1[j] = xx1; lx[j] = f;
+  }
+  for (int i = 0; i < out_h; ++i) {
+    float sy = (i + 0.5f) * in_h / out_h - 0.5f;
+    int y0 = (int)std::floor(sy);
+    float fy = sy - y0;
+    if (y0 < 0) { y0 = 0; fy = 0.f; }
+    if (y0 > in_h - 1) y0 = in_h - 1;
+    if (fy > 1.f) fy = 1.f;
+    int y1 = y0 + 1 < in_h ? y0 + 1 : in_h - 1;
+    const uint8_t* r0 = mask + (size_t)y0 * in_w;
+    const uint8_t* r1 = mask + (size_t)y1 * in_w;
+    uint8_t* orow = out + (size_t)i * out_w;
+    for (int j = 0; j < out_w; ++j) {
+      float v0 = r0[x0[j]] + (r0[x1[j]] - r0[x0[j]]) * lx[j];
+      float v1 = r1[x0[j]] + (r1[x1[j]] - r1[x0[j]]) * lx[j];
+      float v = v0 + (v1 - v0) * fy;
+      orow[j] = v > thresh ? 1 : 0;
+    }
+  }
+  return 0;
+}
+
 int td_trace_contours(const uint8_t* mask, int h, int w,
                       int32_t* out_xy, int32_t* out_sizes,
                       uint8_t* out_is_hole,
@@ -119,7 +159,17 @@ int td_trace_contours(const uint8_t* mask, int h, int w,
   int32_t nbd = 1;
   std::vector<int32_t> raw, simple;
   for (int y = 0; y < h && n_contours < max_contours; ++y) {
+    const uint8_t* row = mask + (size_t)y * w;
     for (int x = 0; x < w && n_contours < max_contours; ++x) {
+      // fast-skip runs of background: the raster scan dominates large
+      // sparse masks, so hop 8 bytes at a time over zero words
+      while (x + 8 <= w) {
+        uint64_t word;
+        std::memcpy(&word, row + x, 8);
+        if (word != 0) break;
+        x += 8;
+      }
+      if (x >= w) break;
       if (!tr.fg(y, x)) continue;
       size_t idx = (size_t)y * w + x;
       bool outer = !tr.fg(y, x - 1) && tr.labels[idx] == 0;

@@ -104,6 +104,32 @@ def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+# jitted wrappers: one fused dispatch per call (an eager op-by-op fallback
+# pays a device round trip per op on relay-attached backends) with the
+# threshold(s) as traced scalars so one compile serves all settings
+@functools.partial(jax.jit)
+def _iou_dense(a, b, thr):
+    from treedetection_tpu.ops.boxes import box_iou_matrix
+    return (box_iou_matrix(a, b) > thr).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit)
+def _containment_dense(a, b, thr):
+    from treedetection_tpu.ops.boxes import pairwise_intersection_over_area
+    # ratios[j, i] = inter / area_j -> transpose for contains[i, j]
+    return (pairwise_intersection_over_area(b, a).T >= thr).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit)
+def _dedupe_dense(a5, b5, iou_thr, area_thr):
+    from treedetection_tpu.ops.boxes import box_iou_matrix
+    iou = box_iou_matrix(a5[:, :4], b5[:, :4])
+    pa = a5[:, 4][:, None]
+    pb = b5[:, 4][None, :]
+    rel = jnp.abs(pa - pb) / jnp.maximum(jnp.maximum(pa, pb), 1e-9)
+    return ((iou > iou_thr) & (rel < area_thr)).astype(jnp.uint8)
+
+
 def pairwise_iou_mask(boxes: jnp.ndarray, threshold: float,
                       rows: Optional[jnp.ndarray] = None,
                       force_interpret: bool = False) -> jnp.ndarray:
@@ -116,8 +142,7 @@ def pairwise_iou_mask(boxes: jnp.ndarray, threshold: float,
     if _use_pallas() or force_interpret:
         return _run_tiled(_iou_tile_kernel, a, boxes, (threshold,),
                           interpret=force_interpret or not _use_pallas())
-    from treedetection_tpu.ops.boxes import box_iou_matrix
-    return (box_iou_matrix(a, boxes) > threshold).astype(jnp.uint8)
+    return _iou_dense(a, boxes, threshold)
 
 
 def pairwise_containment_mask(boxes: jnp.ndarray, threshold: float,
@@ -131,10 +156,7 @@ def pairwise_containment_mask(boxes: jnp.ndarray, threshold: float,
         out = _run_tiled(_containment_tile_kernel, a, boxes, (threshold,),
                          interpret=force_interpret or not _use_pallas())
     else:
-        from treedetection_tpu.ops.boxes import pairwise_intersection_over_area
-        ratios = pairwise_intersection_over_area(boxes, a)
-        # ratios[j, i] = inter / area_j -> transpose for contains[i, j]
-        out = (ratios.T >= threshold).astype(jnp.uint8)
+        out = _containment_dense(a, boxes, threshold)
     if square:
         n = out.shape[0]
         out = out * (1 - jnp.eye(n, dtype=jnp.uint8))
@@ -159,9 +181,4 @@ def pairwise_dedupe_mask(boxes: jnp.ndarray, areas: jnp.ndarray,
         return _run_tiled(_dedupe_tile_kernel, a5, b5,
                           (iou_threshold, area_threshold),
                           interpret=force_interpret or not _use_pallas())
-    from treedetection_tpu.ops.boxes import box_iou_matrix
-    iou = box_iou_matrix(a5[:, :4], b5[:, :4])
-    pa = a5[:, 4][:, None]
-    pb = b5[:, 4][None, :]
-    rel = jnp.abs(pa - pb) / jnp.maximum(jnp.maximum(pa, pb), 1e-9)
-    return ((iou > iou_threshold) & (rel < area_threshold)).astype(jnp.uint8)
+    return _dedupe_dense(a5, b5, iou_threshold, area_threshold)

@@ -271,10 +271,50 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     overflow = (jnp.max(sy, axis=1) > PATCH - 1) | \
                (jnp.max(sx, axis=1) > PATCH - 1)
     # fold the S-sample average into the hat matrices: (N, R, PATCH)
-    ay = _hat_matrix(sy, PATCH) * valid_y[..., None]
-    ax = _hat_matrix(sx, PATCH) * valid_x[..., None]
-    ay = ay.reshape(n, resolution, sampling_ratio, PATCH).mean(axis=2).astype(dtype)
-    ax = ax.reshape(n, resolution, sampling_ratio, PATCH).mean(axis=2).astype(dtype)
+    ay_f = (_hat_matrix(sy, PATCH) * valid_y[..., None]).reshape(
+        n, resolution, sampling_ratio, PATCH).mean(axis=2)
+    ax_f = (_hat_matrix(sx, PATCH) * valid_x[..., None]).reshape(
+        n, resolution, sampling_ratio, PATCH).mean(axis=2)
+    ay = ay_f.astype(dtype)
+    ax = ax_f.astype(dtype)
+
+    # Pallas fast path: per-box patch DMA + MXU contractions (the vmapped
+    # dynamic_slice lowering below is the top cost of the whole forward).
+    # HBM DMA column origins must be 8-aligned, so the column origin snaps
+    # down to a multiple of 8 and the column window widens to PATCH+8.
+    from treedetection_tpu.ops.pallas import roi_align_kernel as _rk
+    import os as _os
+    if _rk.available() and _os.environ.get("TD_PALLAS_ROIALIGN", "1") != "0":
+        cpatch = PATCH + 8
+        ox_al = (ox // 8) * 8
+        sx_al = sx + (ox - ox_al).astype(boxes.dtype)[:, None]
+        ax_k = (_hat_matrix(sx_al, cpatch) * valid_x[..., None]).reshape(
+            n, resolution, sampling_ratio, cpatch).mean(axis=2)
+        overflow_k = (jnp.max(sy, axis=1) > PATCH - 1) | \
+                     (jnp.max(sx_al, axis=1) > cpatch - 1)
+        kpadded = tuple(jnp.pad(f, ((0, PATCH), (0, cpatch), (0, 0)))
+                        for f in fmaps)
+        chunk_k = 128 if resolution <= 8 else 32
+        pad_n = (-n) % chunk_k
+        meta = jnp.stack([levels, oy, ox_al], axis=1).astype(jnp.int32)
+        if pad_n:
+            meta = jnp.pad(meta, ((0, pad_n), (0, 0)))
+            ay_p = jnp.pad(ay_f, ((0, pad_n), (0, 0), (0, 0)))
+            ax_p = jnp.pad(ax_k, ((0, pad_n), (0, 0), (0, 0)))
+        else:
+            ay_p, ax_p = ay_f, ax_k
+        out = _rk.roi_pool_patches(
+            kpadded, meta, ay_p.astype(jnp.float32),
+            ax_p.astype(jnp.float32), resolution, PATCH, chunk_k)[:n]
+        m = min(FALLBACK_BUDGET, n)
+        if m > 0:
+            flag, idx = jax.lax.top_k(overflow_k.astype(jnp.float32), m)
+            fb = multilevel_roi_align_gather(fmaps, boxes[idx], resolution,
+                                             strides, sampling_ratio)
+            take = (flag > 0)[:, None, None, None]
+            out = out.at[idx].set(jnp.where(take, fb.astype(out.dtype),
+                                            out[idx]))
+        return out
 
     starts = (base_l[:, None] + (oy[:, None]
               + jnp.arange(PATCH)[None, :]) * wp_l[:, None]

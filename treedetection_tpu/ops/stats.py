@@ -149,6 +149,7 @@ def polygon_raster_stats_batch(polys: jnp.ndarray, raster: jnp.ndarray,
                         argmax_xy=argmax_xy, count=count)
 
 
+@jax.jit
 def polygon_areas_batch(polys: jnp.ndarray) -> jnp.ndarray:
     """Shoelace areas of NaN-padded rings (N, P, 2) -> (N,)."""
     closed = _close_rings(polys)
@@ -161,6 +162,7 @@ def polygon_areas_batch(polys: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(jnp.sum(term, axis=1)) / 2.0
 
 
+@jax.jit
 def polygon_centroids_batch(polys: jnp.ndarray) -> jnp.ndarray:
     """NaN-aware vertex centroids (N, 2) — matches the reference's centroid
     definition (mean of vertices, ``utilities.py:163-180``)."""

@@ -51,6 +51,13 @@ AREA_UPPER_BOUND = 1000.0  # m^2; reference postprocessing.py:765-767
 PAIRWISE_BLOCK = 8192
 
 
+_SHAPE_BUCKET = 1024  # device shapes round up to this -> compile reuse across files
+
+
+def _bucket(n: int, base: int = _SHAPE_BUCKET) -> int:
+    return max(-(-n // base) * base, base)
+
+
 def _sparse_relation_pairs(kind: str, bounds: np.ndarray, threshold: float,
                            areas: Optional[np.ndarray] = None,
                            area_threshold: float = 0.3,
@@ -58,18 +65,30 @@ def _sparse_relation_pairs(kind: str, bounds: np.ndarray, threshold: float,
                            ) -> Tuple[np.ndarray, np.ndarray]:
     """Stream the (N, N) pairwise relation in row blocks through the tiled
     device kernels (Pallas on TPU, jnp broadcast on CPU) and return the True
-    entries as sparse (i, j) index arrays, diagonal excluded."""
+    entries as sparse (i, j) index arrays, diagonal excluded.
+
+    Shapes are padded to ``_SHAPE_BUCKET`` multiples so the compiled kernels
+    are reused across files (padding boxes are empty -> all-False relations).
+    """
     from treedetection_tpu.ops.pallas import (
         pairwise_containment_mask, pairwise_dedupe_mask)
     n = len(bounds)
     if n == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-    b = jnp.asarray(bounds, dtype=jnp.float32)
-    a = jnp.asarray(areas, dtype=jnp.float32) if areas is not None else None
+    nb = _bucket(n)
+    bp = np.zeros((nb, 4), dtype=np.float32)
+    bp[:n] = bounds
+    b = jnp.asarray(bp)
+    if areas is not None:
+        ap = np.zeros(nb, dtype=np.float32)
+        ap[:n] = areas
+        a = jnp.asarray(ap)
+    else:
+        a = None
     out_i: List[np.ndarray] = []
     out_j: List[np.ndarray] = []
-    for s in range(0, n, block):
-        e = min(s + block, n)
+    for s in range(0, nb, block):
+        e = min(s + block, nb)
         if kind == "dedupe":
             m = pairwise_dedupe_mask(b, a, threshold, area_threshold,
                                      rows=b[s:e], row_areas=a[s:e])
@@ -77,7 +96,7 @@ def _sparse_relation_pairs(kind: str, bounds: np.ndarray, threshold: float,
             m = pairwise_containment_mask(b, threshold, rows=b[s:e])
         ii, jj = np.nonzero(np.asarray(m))
         ii = ii + s
-        keep = ii != jj
+        keep = (ii != jj) & (ii < n) & (jj < n)
         out_i.append(ii[keep])
         out_j.append(jj[keep])
     return np.concatenate(out_i), np.concatenate(out_j)
@@ -282,12 +301,21 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
     offset = np.floor(np.min(np.asarray(
         [c.min(axis=0) for c in crowns], dtype=np.float64), axis=0))
     local = [c - offset for c in crowns]
-    max_pts = max(len(c) for c in crowns) + 1  # +1 NaN slot for ring closing
+    n_all = len(crowns)
+    # bucket BOTH device dims (polygon count, ring points) so the jitted
+    # area/centroid/stat programs compile once and serve every file of a
+    # county run instead of recompiling per (N, P) shape
+    max_pts = _bucket(max(len(c) for c in crowns) + 1, 16)
+    nb = _bucket(n_all)
     ps = PolygonSet.from_list(local, max_points=max_pts, dtype=np.float32)
-    polys_j = jnp.asarray(ps.coords)
-    areas = np.asarray(polygon_areas_batch(polys_j))
+    coords = ps.coords
+    coords_b = np.full((nb, max_pts, 2), np.nan, dtype=np.float32)
+    coords_b[:n_all] = coords
+    polys_j = jnp.asarray(coords_b)
+    areas = np.asarray(polygon_areas_batch(polys_j))[:n_all]
     bounds = ps.bounds()
-    centroids = np.asarray(polygon_centroids_batch(polys_j)) + offset[None, :]
+    centroids = np.asarray(polygon_centroids_batch(polys_j))[:n_all] \
+        + offset[None, :]
 
     area_lo = float(config.get("area_threshold", 1))
     keep = (areas >= area_lo) & (areas <= AREA_UPPER_BOUND)
@@ -300,29 +328,40 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
             float(config.get("iou_threshold", 0.5)))
         keep[keep_idx[~dk]] = False
 
-    # raster stats on the surviving set (cheap to run on all; mask later)
-    heights = np.full(len(crowns), -1.0, dtype=np.float32)
-    argmax_xy = np.zeros((len(crowns), 2), dtype=np.float32)
-    mean_ndvi = np.full(len(crowns), -1.0, dtype=np.float32)
-    var_ndvi = np.full(len(crowns), -1.0, dtype=np.float32)
+    # raster stats only on the post-dedupe survivors (the reference also
+    # computes stats after dedupe, ``process_features``); bucketed subset
+    heights = np.full(n_all, -1.0, dtype=np.float32)
+    argmax_xy = np.zeros((n_all, 2), dtype=np.float32)
+    mean_ndvi = np.full(n_all, -1.0, dtype=np.float32)
+    var_ndvi = np.full(n_all, -1.0, dtype=np.float32)
+
     def _local_affine(t: Affine) -> Affine:
         # same local frame as the polygons (float32-safe magnitudes)
         return Affine(t.a, t.b, t.c - offset[0], t.d, t.e, t.f - offset[1])
 
-    if height_raster is not None:
-        st = polygon_raster_stats_batch(
-            polys_j, jnp.asarray(height_raster, dtype=jnp.float32),
-            jnp.asarray(list(_local_affine(height_affine)), dtype=jnp.float32),
-            compat_circle=compat_circle)
-        heights = np.asarray(st.max)
-        argmax_xy = np.asarray(st.argmax_xy) + offset[None, :]
-    if ndvi_raster is not None:
-        st = polygon_raster_stats_batch(
-            polys_j, jnp.asarray(ndvi_raster, dtype=jnp.float32),
-            jnp.asarray(list(_local_affine(ndvi_affine)), dtype=jnp.float32),
-            compat_circle=compat_circle)
-        mean_ndvi = np.asarray(st.mean)
-        var_ndvi = np.asarray(st.var)
+    sub = np.where(keep)[0]
+    if len(sub) and (height_raster is not None or ndvi_raster is not None):
+        sb = _bucket(len(sub))
+        sub_coords = np.full((sb, max_pts, 2), np.nan, dtype=np.float32)
+        sub_coords[:len(sub)] = coords[sub]
+        sub_j = jnp.asarray(sub_coords)
+        if height_raster is not None:
+            st = polygon_raster_stats_batch(
+                sub_j, jnp.asarray(height_raster, dtype=jnp.float32),
+                jnp.asarray(list(_local_affine(height_affine)),
+                            dtype=jnp.float32),
+                compat_circle=compat_circle)
+            heights[sub] = np.asarray(st.max)[:len(sub)]
+            argmax_xy[sub] = np.asarray(st.argmax_xy)[:len(sub)] \
+                + offset[None, :]
+        if ndvi_raster is not None:
+            st = polygon_raster_stats_batch(
+                sub_j, jnp.asarray(ndvi_raster, dtype=jnp.float32),
+                jnp.asarray(list(_local_affine(ndvi_affine)),
+                            dtype=jnp.float32),
+                compat_circle=compat_circle)
+            mean_ndvi[sub] = np.asarray(st.mean)[:len(sub)]
+            var_ndvi[sub] = np.asarray(st.var)[:len(sub)]
 
     # border/overlap exclusion (same local frame as the polygon bounds)
     if raster_bounds is not None:

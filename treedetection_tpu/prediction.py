@@ -31,7 +31,7 @@ from treedetection_tpu.models import MaskRCNN, MaskRCNNConfig
 from treedetection_tpu.models.mask_rcnn import create_model
 from treedetection_tpu.models.convert import load_checkpoint
 from treedetection_tpu.ops.image import normalize_bgr, resize_bilinear
-from treedetection_tpu.native import trace_contours
+from treedetection_tpu.native import resize_threshold_mask, trace_contours
 from treedetection_tpu.preprocessing import load_tile_metadata
 
 # Per-call timing of the most recent Predictor run (compile vs stream vs
@@ -376,8 +376,8 @@ class Predictor:
             ox, oy = int(math.floor(x0)), int(math.floor(y0))
             if ox >= w or oy >= h:
                 continue
-            m = _resize_mask_np(np.asarray(masks[d], dtype=np.float32), bh, bw)
-            binary = (m > 127.5).astype(np.uint8)  # masks arrive uint8 (x255)
+            # masks arrive uint8 (sigmoid x 255); native fused resize+threshold
+            binary = resize_threshold_mask(np.asarray(masks[d]), bh, bw)
             if binary.sum() == 0:
                 continue
             for ring in trace_contours(binary):

@@ -175,7 +175,12 @@ def train_model(dataset: Iterable[Dict[str, np.ndarray]],
     model = MaskRCNN(mc)
     if init_params is None:
         _, init_params = create_model(mc)
-    params = init_params
+    # create_model initializes pinned to the host CPU (cheap tracing); move
+    # the params to the default (accelerator) device BEFORE jitting the step,
+    # or jax compiles and runs the whole training program on the CPU backend
+    # the committed arrays live on.  The device must be explicit:
+    # device_put(x) without one PRESERVES a committed array's placement.
+    params = jax.device_put(init_params, jax.devices()[0])
     optimizer = make_optimizer(tc, params)
     opt_state = optimizer.init(params)
 
