@@ -182,3 +182,50 @@ class TestGeoJson:
         assert len(geoms) == 1
         assert abs(polygon_area(geoms[0][0][0]) - 16.0) < 1e-9
         assert props[0]["score"] == 0.7
+
+
+class TestExactPolygonIoU:
+    def test_squares_exact(self):
+        from treedetection_tpu.vector.polygon import (
+            polygon_intersection_area, polygon_iou_exact)
+        a = np.array([[0., 0.], [10., 0.], [10., 10.], [0., 10.]])
+        b = a + [5.0, 5.0]
+        assert polygon_intersection_area(a, b) == pytest.approx(25.0)
+        assert polygon_iou_exact(a, b) == pytest.approx(25.0 / 175.0)
+        # disjoint and identical
+        assert polygon_iou_exact(a, a + [20.0, 0.0]) == 0.0
+        assert polygon_iou_exact(a, a) == pytest.approx(1.0)
+
+    def test_concave_exact(self):
+        from treedetection_tpu.vector.polygon import polygon_intersection_area
+        # L-shape: 10x10 square minus its top-right 5x5 quadrant
+        l_shape = np.array([[0., 0.], [10., 0.], [10., 5.], [5., 5.],
+                            [5., 10.], [0., 10.]])
+        box = np.array([[4., 4.], [12., 4.], [12., 12.], [4., 12.]])
+        # overlap = ([4,10]x[4,5]) + ([4,5]x[5,10]) = 6 + 5 = 11
+        assert polygon_intersection_area(l_shape, box) == pytest.approx(11.0)
+        # clockwise input gives the same area
+        assert polygon_intersection_area(l_shape[::-1], box) == pytest.approx(11.0)
+
+    def test_exact_matches_rasterized(self, rng):
+        from treedetection_tpu.vector.polygon import (
+            polygon_iou, polygon_iou_exact)
+        for seed in range(5):
+            r = np.random.default_rng(seed)
+            def blob(cx, cy):
+                ang = np.sort(r.uniform(0, 2 * np.pi, 12))
+                rad = r.uniform(3, 8, 12)
+                return np.stack([cx + rad * np.cos(ang),
+                                 cy + rad * np.sin(ang)], 1)
+            a, b = blob(0, 0), blob(3, 2)
+            exact = polygon_iou_exact(a, b)
+            approx = polygon_iou(a, b)
+            assert abs(exact - approx) < 0.01, (seed, exact, approx)
+
+    def test_greedy_match_reports_exact(self):
+        from treedetection_tpu.eval.scores import greedy_iou_match
+        a = np.array([[0., 0.], [10., 0.], [10., 10.], [0., 10.]])
+        b = a + [1.0, 0.0]  # IoU = 90/110
+        matches, up, ug = greedy_iou_match([a], [b], iou_threshold=0.5)
+        assert len(matches) == 1
+        assert matches[0][2] == pytest.approx(90.0 / 110.0, abs=1e-9)

@@ -68,19 +68,30 @@ def _bbox_candidates(pred_bounds: np.ndarray, gt_bounds: np.ndarray
 
 def greedy_iou_match(predictions: Sequence[np.ndarray],
                      ground_truth: Sequence[np.ndarray],
-                     iou_threshold: float = 0.5
+                     iou_threshold: float = 0.5,
+                     exact: bool = True
                      ) -> Tuple[List[Tuple[int, int, float]], List[int], List[int]]:
     """Greedy one-to-one matching by descending IoU (reference ``:55-111``).
 
+    Candidate scoring uses the fast rasterized IoU; the IoU reported for
+    each final match is recomputed EXACTLY (``exact=True``, signed
+    triangle-decomposition clipping) so the instrument's own error
+    (~1/512 per axis rasterized) never decides a parity gate like the
+    0.99-IoU crown check.
+
     Returns (matches [(pred_idx, gt_idx, iou)], unmatched_pred, unmatched_gt).
     """
+    from treedetection_tpu.vector.polygon import polygon_iou_exact
     pb = polygons_bounds(predictions) if len(predictions) else np.zeros((0, 4))
     gb = polygons_bounds(ground_truth) if len(ground_truth) else np.zeros((0, 4))
     pairs = _bbox_candidates(pb, gb)
+    # margin below the threshold so exact re-scoring can promote borderline
+    # rasterized candidates rather than losing them
+    floor = max(iou_threshold - 0.02, 0.0)
     scored = []
     for i, j in pairs:
         iou = polygon_iou(predictions[i], ground_truth[j])
-        if iou >= iou_threshold:
+        if iou >= floor:
             scored.append((iou, i, j))
     scored.sort(reverse=True)
     matched_p: set = set()
@@ -88,6 +99,10 @@ def greedy_iou_match(predictions: Sequence[np.ndarray],
     matches: List[Tuple[int, int, float]] = []
     for iou, i, j in scored:
         if i in matched_p or j in matched_g:
+            continue
+        if exact:
+            iou = polygon_iou_exact(predictions[i], ground_truth[j])
+        if iou < iou_threshold:
             continue
         matched_p.add(i)
         matched_g.add(j)

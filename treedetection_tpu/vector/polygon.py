@@ -256,6 +256,94 @@ def polygon_within(p: Coords, q: Coords) -> bool:
     return not _segments_intersect(p, q)
 
 
+def _clip_convex_by_halfplane(pts: List[Tuple[float, float]],
+                              a: Tuple[float, float], b: Tuple[float, float]
+                              ) -> List[Tuple[float, float]]:
+    """Sutherland-Hodgman step: keep the part of convex ``pts`` left of a->b."""
+    out: List[Tuple[float, float]] = []
+    n = len(pts)
+    ex, ey = b[0] - a[0], b[1] - a[1]
+    for i in range(n):
+        cx, cy = pts[i]
+        px, py = pts[i - 1]
+        c_in = ex * (cy - a[1]) - ey * (cx - a[0]) >= 0
+        p_in = ex * (py - a[1]) - ey * (px - a[0]) >= 0
+        if c_in != p_in:
+            dx, dy = cx - px, cy - py
+            denom = ex * dy - ey * dx
+            if denom != 0:
+                # f(p) = ex*(py-ay) - ey*(px-ax); crossing at t = -f(p)/denom
+                t = (ey * (px - a[0]) - ex * (py - a[1])) / denom
+                out.append((px + t * dx, py + t * dy))
+        if c_in:
+            out.append((cx, cy))
+    return out
+
+
+def _tri_intersection_area(t1, t2) -> float:
+    """Area of the intersection of two CCW triangles (exact convex clip)."""
+    pts = list(t2)
+    for i in range(3):
+        pts = _clip_convex_by_halfplane(pts, t1[i], t1[(i + 1) % 3])
+        if len(pts) < 3:
+            return 0.0
+    a = 0.0
+    for i in range(len(pts)):
+        x0, y0 = pts[i - 1]
+        x1, y1 = pts[i]
+        a += x0 * y1 - x1 * y0
+    return a / 2.0
+
+
+def polygon_intersection_area(p: Coords, q: Coords) -> float:
+    """EXACT area of intersection of two simple polygons.
+
+    Signed fan-triangle decomposition: the winding-number function of a
+    simple polygon equals the signed sum of its fan triangles' indicators,
+    so ``area(P∩Q) = sum_ij s_i s_j area(T_i ∩ T_j)`` with each term an
+    exact convex-convex clip.  O(|P|·|Q|) pairs — meant for eval/parity
+    instrumentation (the 0.99-IoU gate), not hot loops; the rasterized
+    :func:`polygon_iou` stays the fast path.
+    """
+    p = ensure_open(np.asarray(p, dtype=np.float64))
+    q = ensure_open(np.asarray(q, dtype=np.float64))
+    if len(p) < 3 or len(q) < 3:
+        return 0.0
+    pb, qb = polygon_bounds(p), polygon_bounds(q)
+    if pb[0] >= qb[2] or qb[0] >= pb[2] or pb[1] >= qb[3] or qb[1] >= pb[3]:
+        return 0.0
+
+    def fan(poly):
+        tris = []
+        x0, y0 = poly[0]
+        for i in range(1, len(poly) - 1):
+            x1, y1 = poly[i]
+            x2, y2 = poly[i + 1]
+            s = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+            if s == 0:
+                continue
+            t = ((x0, y0), (x1, y1), (x2, y2))
+            if s < 0:  # orient CCW for the clipper; keep the sign
+                t = (t[0], t[2], t[1])
+            tris.append((1.0 if s > 0 else -1.0, t))
+        return tris
+
+    total = 0.0
+    for s1, t1 in fan(p):
+        for s2, t2 in fan(q):
+            total += s1 * s2 * _tri_intersection_area(t1, t2)
+    return abs(total)
+
+
+def polygon_iou_exact(p: Coords, q: Coords) -> float:
+    """Exact polygon IoU (see :func:`polygon_intersection_area`)."""
+    inter = polygon_intersection_area(p, q)
+    if inter <= 0.0:
+        return 0.0
+    union = polygon_area(p) + polygon_area(q) - inter
+    return inter / union if union > 0 else 0.0
+
+
 def polygon_iou(p: Coords, q: Coords, resolution: Optional[float] = None) -> float:
     """Polygon IoU via adaptive-resolution rasterization.
 
