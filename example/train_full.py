@@ -35,6 +35,11 @@ def main() -> int:
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--max-gt", type=int, default=48)
     parser.add_argument("--lr", type=float, default=0.01)
+    parser.add_argument("--preset", default="scratch",
+                        choices=("scratch", "update"))
+    parser.add_argument("--init-from", default=None,
+                        help="checkpoint to continue from (.npz/.pth/orbax); "
+                             "use with --preset update")
     parser.add_argument("--ckpt", default=os.path.join(HERE, "data",
                                                        "model_full.ckpt"))
     args = parser.parse_args()
@@ -87,17 +92,24 @@ def main() -> int:
         depth=args.depth, input_size=args.input_size,
         rpn_pre_nms_topk=1000, rpn_post_nms_topk=512, max_detections=100,
         bf16=not on_cpu, remat=True)
+    over = {} if args.preset == "update" else {"base_lr": args.lr}
     tc = TrainConfig.from_preset(
-        "scratch", max_iter=args.iters, base_lr=args.lr,
+        args.preset, max_iter=args.iters,
         ims_per_batch=args.batch, max_gt=args.max_gt,
         eval_period=max(args.iters // 10, 10), patience=10,
-        max_eval_batches=4)
+        max_eval_batches=4, **over)
+    init_params = None
+    if args.init_from:
+        from treedetection_tpu.models.convert import load_checkpoint
+        init_params = load_checkpoint(args.init_from, depth=args.depth)
+        log.info(f"continuing from {args.init_from}")
     ds = ShardDataset(train_shards, batch_size=tc.ims_per_batch)
     val = ShardDataset(val_shards or train_shards[:1],
                        batch_size=tc.ims_per_batch, shuffle=False)
     t0 = time.time()
     params, history = train_model(ds, val_dataset=val, model_cfg=mc,
                                   train_cfg=tc, logger=log,
+                                  init_params=init_params,
                                   checkpoint_dir=args.ckpt)
     train_s = time.time() - t0
     log.info(f"[3/4] {len(history['total_loss'])} iters in {train_s:.0f}s; "
@@ -106,7 +118,7 @@ def main() -> int:
 
     # compact fp16 npz — the checkpoint example/config.yml serves
     from treedetection_tpu.models.convert import save_checkpoint_npz
-    npz_path = os.path.join(HERE, "data", "model_full.npz")
+    npz_path = os.path.splitext(args.ckpt)[0] + ".npz"
     save_checkpoint_npz(npz_path, jax.device_get(params))
     log.info(f"compact checkpoint: {npz_path} "
              f"({os.path.getsize(npz_path) / 1e6:.0f} MB)")

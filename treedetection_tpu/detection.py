@@ -280,7 +280,38 @@ def process_files(config: Dict[str, Any]) -> List[str]:
             f"Timing: preprocess {t1 - t0:.1f}s, predict {t2 - t1:.1f}s, "
             f"postprocess {t3 - t2:.1f}s, cleanup {t4 - t3:.1f}s, "
             f"total {t4 - t0:.1f}s")
+    _log_multihost_totals(outputs, logger)
     return outputs
+
+
+def _log_multihost_totals(outputs: List[str], logger) -> None:
+    """Cross-host metric reduction: on a multi-host run, all-gather each
+    host's (files, crowns) totals over the JAX collective fabric so every
+    host logs the county-wide counts (SURVEY §2.4's 'collectives only for
+    metric reduction')."""
+    import jax
+    if jax.process_count() <= 1:
+        return
+    import numpy as np
+    from treedetection_tpu.vector import read_gpkg
+    crowns = 0
+    for p in outputs:
+        if os.path.exists(p):
+            geoms, _, _ = read_gpkg(p)
+            crowns += len(geoms)
+    try:
+        from jax.experimental import multihost_utils
+        totals = multihost_utils.process_allgather(
+            np.array([len(outputs), crowns], dtype=np.int64))
+        if logger:
+            logger.info(
+                f"Multi-host totals: {int(totals[:, 0].sum())} files, "
+                f"{int(totals[:, 1].sum())} crowns across "
+                f"{jax.process_count()} hosts "
+                f"(this host: {len(outputs)}/{crowns})")
+    except Exception as exc:  # collective failure must not kill outputs
+        if logger:
+            logger.warning(f"Cross-host metric reduction failed: {exc}")
 
 
 if __name__ == "__main__":

@@ -19,7 +19,7 @@ backbone does).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -195,7 +195,8 @@ def _hat_matrix(samples: jnp.ndarray, size: int) -> jnp.ndarray:
 def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
                          resolution: int, strides: Sequence[int],
                          sampling_ratio: int = 2,
-                         chunk: int = 128) -> jnp.ndarray:
+                         chunk: int = 128,
+                         pallas: Optional[bool] = None) -> jnp.ndarray:
     """Pool each box from its assigned FPN level -> (N, R, R, C).
 
     TPU fast path: instead of 4 corner row-gathers per sample point
@@ -282,9 +283,14 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     # dynamic_slice lowering below is the top cost of the whole forward).
     # HBM DMA column origins must be 8-aligned, so the column origin snaps
     # down to a multiple of 8 and the column window widens to PATCH+8.
+    # NOTE: the kernel defines no VJP — training (``train.losses``) passes
+    # ``pallas=False`` to keep the differentiable XLA path.
     from treedetection_tpu.ops.pallas import roi_align_kernel as _rk
     import os as _os
-    if _rk.available() and _os.environ.get("TD_PALLAS_ROIALIGN", "1") != "0":
+    if pallas is None:
+        pallas = _rk.available() and \
+            _os.environ.get("TD_PALLAS_ROIALIGN", "1") != "0"
+    if pallas and _rk.available():
         cpatch = PATCH + 8
         ox_al = (ox // 8) * 8
         sx_al = sx + (ox - ox_al).astype(boxes.dtype)[:, None]

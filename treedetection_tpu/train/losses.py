@@ -181,14 +181,16 @@ def mask_rcnn_losses(model, params, images: jnp.ndarray, gt_boxes: jnp.ndarray,
         # append GT boxes so positives always exist (detectron2 behavior)
         prop_boxes = jnp.concatenate([props.boxes, boxes_i])
         prop_valid = jnp.concatenate([props.scores > -jnp.inf, valid_i])
+        # pallas=False: the Pallas pooling kernel has no VJP; training needs
+        # gradients to flow through the pooled features into the backbone
         pooled = multilevel_roi_align(
             [x.astype(jnp.float32) for x in f_img[:4]], prop_boxes,
-            cfg.box_pool, FPN_STRIDES[:4])
+            cfg.box_pool, FPN_STRIDES[:4], pallas=False)
         cls_logits, box_deltas = model.apply(
             params, pooled.astype(cfg.dtype), method=_apply_box_head)
         mask_pooled = multilevel_roi_align(
             [x.astype(jnp.float32) for x in f_img[:4]], prop_boxes,
-            cfg.mask_pool, FPN_STRIDES[:4])
+            cfg.mask_pool, FPN_STRIDES[:4], pallas=False)
         mask_logits = model.apply(
             params, mask_pooled.astype(cfg.dtype), method=_apply_mask_head
         )[..., 0]
