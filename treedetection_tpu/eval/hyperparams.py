@@ -71,7 +71,9 @@ def sweep_postprocessing(stitched_gpkg: str,
         out_scores = [p["Confidence_score"] for p in out_props]
         metrics = evaluate(out_geoms, out_scores, gts, eval_iou,
                            confidence_threshold=0.0)
-        results.append({**dict(zip(keys, combo)), **metrics,
+        # combo LAST so the swept values are not shadowed by evaluate()'s
+        # echo of its own confidence/iou arguments
+        results.append({**metrics, **dict(zip(keys, combo)),
                         "n_crowns": len(out_geoms)})
     results.sort(key=lambda r: -r["f1"])
     if out_json:
