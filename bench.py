@@ -88,6 +88,9 @@ def bench_pipeline() -> dict:
 def main() -> int:
     import jax
     import jax.numpy as jnp
+    from treedetection_tpu.utils.xla_cache import setup_compilation_cache
+    cache_dir = setup_compilation_cache()
+    print(f"bench: compilation cache at {cache_dir}", file=sys.stderr)
     from treedetection_tpu.models.mask_rcnn import MaskRCNNConfig, create_model
     from treedetection_tpu.ops.image import normalize_bgr
     from treedetection_tpu.native import resize_threshold_mask, trace_contours

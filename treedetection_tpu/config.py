@@ -104,6 +104,10 @@ def set_device_configuration(config: Dict[str, Any], raw_device) -> None:
     """
     import jax  # local import: keep config importable without jax initialized
 
+    from treedetection_tpu.utils.xla_cache import setup_compilation_cache
+    config["compilation_cache_dir"] = setup_compilation_cache(
+        config.get("compilation_cache_dir"))
+
     platform = None
     n_devices: Optional[int] = None
     if raw_device is None or raw_device == "auto":
@@ -199,6 +203,29 @@ _DEFAULTS: Tuple[Tuple[str, Any], ...] = (
 )
 
 
+# Model input sizes that crash the remote TPU worker mid-program (backend
+# bug, not a model bug): the full Mask R-CNN program at 512^2 reproducibly
+# kills the worker while 1024^2 (the validated production shape) and the
+# backbone alone at 512 run fine.  Reproducer + bisect notes:
+# ``tools/repro_512_crash.py``.  Fail fast at config load instead of dying
+# mid-county-run; lift via TD_ALLOW_UNSAFE_INPUT_SIZE=1 once the backend is
+# fixed.
+KNOWN_BAD_TPU_INPUT_SIZES = frozenset({512})
+
+
+def _validate_model_input_size(config: Dict[str, Any]) -> None:
+    size = int(config.get("model_input_size", 1024))
+    if (config.get("device") == "tpu"
+            and size in KNOWN_BAD_TPU_INPUT_SIZES
+            and os.environ.get("TD_ALLOW_UNSAFE_INPUT_SIZE") != "1"):
+        raise ValueError(
+            f"model_input_size={size} is known to crash the TPU worker on "
+            f"this backend (see tools/repro_512_crash.py). Use 1024 (the "
+            f"validated shape), run on device: cpu, or set "
+            f"TD_ALLOW_UNSAFE_INPUT_SIZE=1 to override once the backend bug "
+            f"is fixed.")
+
+
 def get_config(config_path: str) -> Tuple[Dict[str, Any], Config]:
     """Load + validate + default-fill the YAML config.
 
@@ -226,17 +253,17 @@ def get_config(config_path: str) -> Tuple[Dict[str, Any], Config]:
         config["exclude_files"] = [_resolve(p) for p in config["exclude_files"]]
 
     assert config.get("image_directory") and os.path.exists(config["image_directory"]), (
-        "Input path is missing from the configuration or path is incorrect.")
+        "Config key 'image_directory' is unset or does not point to an existing path.")
     assert config.get("height_data_path") and os.path.exists(config["height_data_path"]), (
-        "nDOM path is missing from the configuration or path is incorrect.")
+        "Config key 'height_data_path' (nDSM rasters) is unset or does not point to an existing path.")
 
     if not config.get("combined_model") or not os.path.exists(config["combined_model"]):
         assert config.get("urban_model") and os.path.exists(config["urban_model"]), (
-            "Urban model path is missing from the configuration or path is incorrect.")
+            "No 'combined_model' given, and 'urban_model' is unset or not an existing file.")
         assert config.get("forrest_model") and os.path.exists(config["forrest_model"]), (
-            "Forrest model path is missing from the configuration.")
+            "No 'combined_model' given, and 'forrest_model' is unset or not an existing file.")
         assert config.get("forrest_outline") and os.path.exists(config["forrest_outline"]), (
-            "Forrest outline path is missing from the configuration.")
+            "Two-model routing needs 'forrest_outline', which is unset or not an existing file.")
 
     config["continue"] = config.get(
         "continue_path", os.path.join(config.get("output_directory", "./output"), "continue.yml"))
@@ -248,6 +275,7 @@ def get_config(config_path: str) -> Tuple[Dict[str, Any], Config]:
     os.makedirs(config["tiles_path"], exist_ok=True)
 
     set_device_configuration(config, config.get("device"))
+    _validate_model_input_size(config)
 
     config["logger"] = setup_logging(
         os.path.join(config["output_directory"], "logs"), config["debug"])

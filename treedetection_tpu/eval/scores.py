@@ -85,13 +85,30 @@ def greedy_iou_match(predictions: Sequence[np.ndarray],
     pb = polygons_bounds(predictions) if len(predictions) else np.zeros((0, 4))
     gb = polygons_bounds(ground_truth) if len(ground_truth) else np.zeros((0, 4))
     pairs = _bbox_candidates(pb, gb)
-    # margin below the threshold so exact re-scoring can promote borderline
-    # rasterized candidates rather than losing them
-    floor = max(iou_threshold - 0.02, 0.0)
+    # Margin below the threshold so exact re-scoring can promote borderline
+    # rasterized candidates rather than losing them.  The rasterized error is
+    # ~(boundary cells)/(union cells); the grid spans the union bbox at 1/512,
+    # so small/thin polygons see errors well above a fixed 0.02 — derive the
+    # margin per pair from perimeter x cell size vs polygon area.
+    from treedetection_tpu.vector.polygon import polygon_area
+
+    def _perimeter(c: np.ndarray) -> float:
+        d = np.diff(np.asarray(c, dtype=np.float64), axis=0)
+        return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
     scored = []
     for i, j in pairs:
         iou = polygon_iou(predictions[i], ground_truth[j])
-        if iou >= floor:
+        minx = min(pb[i, 0], gb[j, 0])
+        miny = min(pb[i, 1], gb[j, 1])
+        maxx = max(pb[i, 2], gb[j, 2])
+        maxy = max(pb[i, 3], gb[j, 3])
+        cell = max(maxx - minx, maxy - miny) / 512.0
+        area = max(abs(polygon_area(predictions[i])),
+                   abs(polygon_area(ground_truth[j])), cell * cell)
+        per = _perimeter(predictions[i]) + _perimeter(ground_truth[j])
+        margin = min(max(per * cell / area, 0.02), 0.5)
+        if iou >= max(iou_threshold - margin, 0.0):
             scored.append((iou, i, j))
     scored.sort(reverse=True)
     matched_p: set = set()

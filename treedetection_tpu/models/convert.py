@@ -198,7 +198,17 @@ def save_checkpoint_npz(path: str, params: Dict[str, Any],
             for k, v in tree.items():
                 rec(f"{prefix}/{k}" if prefix else k, v)
         else:
-            flat[prefix] = np.asarray(tree).astype(dtype)
+            src = np.asarray(tree)
+            cast = src.astype(dtype)
+            # fp16 overflows |w|>65504 to inf and flushes folded frozen-BN
+            # scales below ~6e-5 to zero; keep such tensors at fp32 so the
+            # serialized checkpoint stays exact where narrowing would corrupt.
+            if dtype == np.float16 and src.size:
+                finite = np.isfinite(src)
+                if (not np.isfinite(cast[finite]).all()
+                        or np.any((src != 0) & finite & (cast == 0))):
+                    cast = src.astype(np.float32)
+            flat[prefix] = cast
 
     rec("", params)
     tmp = path + ".tmp.npz"

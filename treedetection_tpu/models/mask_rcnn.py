@@ -56,6 +56,10 @@ class ModelOutput(NamedTuple):
     valid: jnp.ndarray      # (B, D) bool
     masks: jnp.ndarray      # (B, D, 28, 28) uint8 sigmoid probability * 255
                             # (quantized on device: 4x less device->host fetch)
+    roi_overflow: jnp.ndarray  # (B,) int32 — max per-pooling-call count of
+                            # boxes outspanning the ROIAlign patch; hosts pass
+                            # it to ops.roi_align.report_overflow_host so
+                            # beyond-budget truncation is never silent
 
 
 class MaskRCNN(nn.Module):
@@ -88,29 +92,30 @@ class MaskRCNN(nn.Module):
             # ROIAlign gathers run in the compute dtype (bf16 on TPU): halves
             # the gather traffic; the interpolation error is far below the
             # mask threshold granularity.
-            pooled = multilevel_roi_align(
+            pooled, box_of = multilevel_roi_align(
                 [f.astype(c.dtype) for f in f_img[:4]], props.boxes,
-                c.box_pool, FPN_STRIDES[:4])
+                c.box_pool, FPN_STRIDES[:4], return_overflow=True)
             cls_logits, box_deltas = self.box_head(pooled.astype(c.dtype))
             det = box_inference(
                 cls_logits, box_deltas, props.boxes, props.scores,
                 c.input_size, c.score_threshold, c.nms_threshold,
                 c.max_detections)
-            mask_pooled = multilevel_roi_align(
+            mask_pooled, mask_of = multilevel_roi_align(
                 [f.astype(c.dtype) for f in f_img[:4]], det.boxes,
-                c.mask_pool, FPN_STRIDES[:4])
+                c.mask_pool, FPN_STRIDES[:4], return_overflow=True)
             mask_logits = self.mask_head(mask_pooled.astype(c.dtype))
             probs = jax.nn.sigmoid(mask_logits[..., 0])     # (D, 28, 28)
             masks = jnp.round(probs * 255.0).astype(jnp.uint8)
-            return det, masks
+            return det, masks, jnp.maximum(box_of, mask_of)
 
         # vmap over the batch: per-level features/outputs become leading-batch
         # pytrees automatically.
-        det, masks = jax.vmap(
+        det, masks, roi_of = jax.vmap(
             lambda f, l, d: per_image((f, l, d)),
             in_axes=(0, 0, 0))(feats, logits, deltas)
         return ModelOutput(boxes=det.boxes, scores=det.scores,
-                           classes=det.classes, valid=det.valid, masks=masks)
+                           classes=det.classes, valid=det.valid, masks=masks,
+                           roi_overflow=roi_of)
 
 
 def create_model(cfg: Optional[MaskRCNNConfig] = None,

@@ -32,11 +32,12 @@ def available() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-@functools.partial(jax.jit, static_argnames=("resolution", "patch", "chunk"))
+@functools.partial(jax.jit, static_argnames=("resolution", "patch", "chunk",
+                                             "interpret"))
 def roi_pool_patches(fmaps_padded: Tuple[jnp.ndarray, ...],
                      meta: jnp.ndarray, ay: jnp.ndarray, ax: jnp.ndarray,
                      resolution: int, patch: int,
-                     chunk: int) -> jnp.ndarray:
+                     chunk: int, interpret: bool = False) -> jnp.ndarray:
     """Pool N boxes -> (N, R, R, C).
 
     ``fmaps_padded``: per-level (H_l+patch, W_l+cpatch, C) arrays
@@ -137,4 +138,8 @@ def roi_pool_patches(fmaps_padded: Tuple[jnp.ndarray, ...],
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, r, r, c), dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # CPU validation hook (mirrors iou_kernel's force_interpret): the TPU
+        # interpreter emulates the DMA/semaphore semantics, so the patch
+        # copies + hat-matrix math get CI coverage without a chip.
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(meta, ay, ax, *fmaps_padded)

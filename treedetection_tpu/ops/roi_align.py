@@ -192,11 +192,46 @@ def _hat_matrix(samples: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(samples[..., None] - rows))
 
 
+import logging
+
+_logger = logging.getLogger("treedetection_tpu")
+
+# Host-visible tally of gather-fallback overflows beyond FALLBACK_BUDGET —
+# a silent-degradation counter.  The jitted pooler returns the per-call
+# overflow count (``return_overflow=True``, surfaced as
+# ``ModelOutput.roi_overflow``); hosts feed fetched counts to
+# :func:`report_overflow_host`, which warns and bumps this tally.
+OVERFLOW_STATS = {"events": 0, "boxes_beyond_budget": 0}
+
+
+def report_overflow_host(n_over: int, context: str = "") -> None:
+    """HOST-side check of a fetched overflow count (``ModelOutput.
+    roi_overflow``): warn + tally when more boxes outspanned the patch than
+    the fallback budget could re-pool exactly.
+
+    Deliberately not an in-program ``jax.debug.callback``: host callbacks make
+    the XLA executable unserializable, which would silently disable the
+    persistent compilation cache for the whole model program.
+    """
+    n_over = int(n_over)
+    if n_over <= FALLBACK_BUDGET:
+        return
+    OVERFLOW_STATS["events"] += 1
+    OVERFLOW_STATS["boxes_beyond_budget"] += n_over - FALLBACK_BUDGET
+    _logger.warning(
+        f"ROIAlign patch overflow{context}: {n_over} boxes outspan the "
+        f"{PATCH}px patch but only {FALLBACK_BUDGET} get exact gather "
+        f"re-pooling; {n_over - FALLBACK_BUDGET} keep truncated pooling "
+        f"(elongated boxes, bounded error on overhanging bins)")
+
+
 def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
                          resolution: int, strides: Sequence[int],
                          sampling_ratio: int = 2,
                          chunk: int = 128,
-                         pallas: Optional[bool] = None) -> jnp.ndarray:
+                         pallas: Optional[bool] = None,
+                         force_interpret: bool = False,
+                         return_overflow: bool = False):
     """Pool each box from its assigned FPN level -> (N, R, R, C).
 
     TPU fast path: instead of 4 corner row-gathers per sample point
@@ -223,8 +258,10 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     # geometry violates PATCH - 2, use the gather path.
     img_span = max(f.shape[0] * s for f, s in zip(fmaps, strides))
     if img_span / strides[-1] > PATCH - 2:
-        return multilevel_roi_align_gather(fmaps, boxes, resolution, strides,
-                                           sampling_ratio)
+        out = multilevel_roi_align_gather(fmaps, boxes, resolution, strides,
+                                          sampling_ratio)
+        # gather path is exact for every box — nothing can overflow
+        return (out, jnp.zeros((), jnp.int32)) if return_overflow else out
 
     # flat buffer with per-level bottom/right zero padding of PATCH rows/cols
     padded = [jnp.pad(f, ((0, PATCH), (0, PATCH), (0, 0))) for f in fmaps]
@@ -290,7 +327,7 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     if pallas is None:
         pallas = _rk.available() and \
             _os.environ.get("TD_PALLAS_ROIALIGN", "1") != "0"
-    if pallas and _rk.available():
+    if pallas and (_rk.available() or force_interpret):
         cpatch = PATCH + 8
         ox_al = (ox // 8) * 8
         sx_al = sx + (ox - ox_al).astype(boxes.dtype)[:, None]
@@ -311,7 +348,8 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
             ay_p, ax_p = ay_f, ax_k
         out = _rk.roi_pool_patches(
             kpadded, meta, ay_p.astype(jnp.float32),
-            ax_p.astype(jnp.float32), resolution, PATCH, chunk_k)[:n]
+            ax_p.astype(jnp.float32), resolution, PATCH, chunk_k,
+            interpret=force_interpret)[:n]
         m = min(FALLBACK_BUDGET, n)
         if m > 0:
             flag, idx = jax.lax.top_k(overflow_k.astype(jnp.float32), m)
@@ -320,6 +358,8 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
             take = (flag > 0)[:, None, None, None]
             out = out.at[idx].set(jnp.where(take, fb.astype(out.dtype),
                                             out[idx]))
+        if return_overflow:
+            return out, jnp.sum(overflow_k.astype(jnp.int32))
         return out
 
     starts = (base_l[:, None] + (oy[:, None]
@@ -361,4 +401,6 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
                                          strides, sampling_ratio)
         take = (flag > 0)[:, None, None, None]
         out = out.at[idx].set(jnp.where(take, fb.astype(out.dtype), out[idx]))
+    if return_overflow:
+        return out, jnp.sum(overflow.astype(jnp.int32))
     return out

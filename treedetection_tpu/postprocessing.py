@@ -31,7 +31,6 @@ import jax.numpy as jnp
 
 from treedetection_tpu.geo import Affine, GeoTiff
 from treedetection_tpu.ops.boxes import box_iou_matrix, pairwise_intersection_over_area
-from treedetection_tpu.ops.image import ndvi_from_rgbi
 from treedetection_tpu.ops.stats import (
     polygon_areas_batch, polygon_centroids_batch, polygon_raster_stats_batch)
 from treedetection_tpu.recoveries import (
@@ -419,7 +418,16 @@ def load_rasters_for_file(height_path: Optional[str], rgbi_path: Optional[str],
                                      Optional[Tuple[float, float, float, float]]]:
     """Read the nDSM (scaled by height_scaling_factor) and the RGBI -> NDVI
     raster (scaled by ndvi_scaling_factor) with rescaled transforms (reference
-    ``postprocessing.py:780-800``)."""
+    ``postprocessing.py:780-800``).
+
+    Both rasters are read ALREADY DECIMATED via strip-chunked windowed reads
+    (``GeoTiff.read_scaled``) — matching the reference's scaled ``out_shape``
+    reads — and NDVI is computed on the decimated pixels (reference order:
+    downsample, then ``ndvi_array_from_rgbi``).  A county-scale RGBI never
+    materializes as a full-resolution float array, and the NDVI math stays on
+    host (shipping a 400 MB full-res array through a remote device link was
+    the single largest postprocess cost).
+    """
     height_raster = height_affine = None
     ndvi_raster = ndvi_affine = None
     raster_bounds = None
@@ -427,26 +435,31 @@ def load_rasters_for_file(height_path: Optional[str], rgbi_path: Optional[str],
     ns = float(config.get("ndvi_scaling_factor", 0.2))
     if height_path and os.path.exists(height_path):
         g = GeoTiff(height_path)
-        arr = g.read()[:, :, 0].astype(np.float32)
-        if g.nodata is not None:
-            arr = np.where(arr == g.nodata, np.nan, arr)
         if hs != 1.0:
-            arr, height_affine = _downscale(arr, g.transform, hs)
+            nh = max(int(round(g.height * hs)), 1)
+            nw = max(int(round(g.width * hs)), 1)
+            arr, height_affine = g.read_scaled(nh, nw, nodata_to_nan=True)
+            arr = arr[:, :, 0]
         else:
+            arr = g.read()[:, :, 0].astype(np.float32)
+            if g.nodata is not None:
+                arr = np.where(arr == g.nodata, np.nan, arr)
             height_affine = g.transform
         height_raster = arr
         raster_bounds = g.bounds
         g.close()
     if rgbi_path and os.path.exists(rgbi_path):
         g = GeoTiff(rgbi_path)
-        rgbi = g.read().astype(np.float32)
-        if rgbi.shape[2] >= 4:
-            ndvi = np.asarray(ndvi_from_rgbi(jnp.asarray(rgbi)))
+        if g.count >= 4:
+            nh = max(int(round(g.height * ns)), 1)
+            nw = max(int(round(g.width * ns)), 1)
             if ns != 1.0:
-                ndvi, ndvi_affine = _downscale(ndvi, g.transform, ns)
+                rgbi, ndvi_affine = g.read_scaled(nh, nw)
             else:
-                ndvi_affine = g.transform
-            ndvi_raster = ndvi
+                rgbi, ndvi_affine = g.read().astype(np.float32), g.transform
+            r = rgbi[:, :, 0] / 255.0
+            nir = rgbi[:, :, 3] / 255.0
+            ndvi_raster = (nir - r) / (nir + r + 1e-7)
         raster_bounds = raster_bounds or g.bounds
         g.close()
     return height_raster, height_affine, ndvi_raster, ndvi_affine, raster_bounds

@@ -95,6 +95,9 @@ class Predictor:
                 if self.logger:
                     self.logger.error(
                         f"Failed to load checkpoint {model_path}: {exc}")
+        # Observable fallback flag (VERDICT r2 weak-path observability):
+        # bench/example scripts check this instead of outrunning the warning.
+        self.used_random_init = self.params is None
         if self.params is None:
             _, self.params = create_model(self.cfg)
             if self.logger:
@@ -219,7 +222,8 @@ class Predictor:
         written = 0
         forward, box_scale = self._get_forward(pad)
         stats = {"tiles": float(n), "batches": 0.0, "compile_s": 0.0,
-                 "dispatch_s": 0.0, "flush_s": 0.0, "wall_s": 0.0}
+                 "dispatch_s": 0.0, "flush_s": 0.0, "wall_s": 0.0,
+                 "fill_tiles": 0.0}
         t_start = __import__("time").time()
 
         def run_batch(batch):
@@ -252,15 +256,6 @@ class Predictor:
                     _time.sleep(60)
                     jax.clear_caches()
 
-        def flush(batch_items, device_out, sizes):
-            nonlocal written
-            out = jax.device_get(device_out)
-            for k, it in enumerate(batch_items):
-                self._write_tile_predictions(
-                    it, out.boxes[k], out.scores[k], out.masks[k],
-                    out.valid[k], sizes[k], pad, tifpath, output_dir)
-                written += 1
-
         def decode(it_win):
             """Windowed read -> padded uint8 tile (runs in the decode pool)."""
             it, win = it_win
@@ -287,9 +282,12 @@ class Predictor:
         def flush(batch_items, device_out, sizes):
             nonlocal written
             import time as _time
+            from treedetection_tpu.ops.roi_align import report_overflow_host
             t0 = _time.time()
             out = jax.device_get(device_out)
             for k, it in enumerate(batch_items):
+                report_overflow_host(out.roi_overflow[k],
+                                     f" ({it['tile_id']})")
                 self._write_tile_predictions(
                     it, out.boxes[k], out.scores[k], out.masks[k],
                     out.valid[k], sizes[k], box_scale, tifpath, output_dir)
@@ -322,6 +320,7 @@ class Predictor:
                 sizes.append(hw)
                 done += 1
                 if len(batch_items) == bs or not decode_q:
+                    stats["fill_tiles"] += bs - len(batch_arrays)
                     while len(batch_arrays) < bs:  # static batch shape
                         batch_arrays.append(np.zeros((pad, pad, 3),
                                                      dtype=np.uint8))
