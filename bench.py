@@ -108,15 +108,22 @@ def main() -> int:
     print(f"bench: backend={backend} size={size} batch={batch} depth={cfg.depth}",
           file=sys.stderr)
     model, params = create_model(cfg)
-    params = jax.device_put(params)
+    # explicit device: init params are committed to CPU (create_model pins
+    # init there), and device_put without a device PRESERVES committed
+    # placement — arg-passed CPU params would drag the whole jit onto CPU
+    params = jax.device_put(params, jax.devices()[0])
 
-    # params captured as compile-time constants (see prediction.Predictor):
-    # lets XLA fold frozen-BN and pre-layout weights; avoids the axon
-    # backend's per-call argument-streaming penalty.
+    # params ride as device-resident jit ARGUMENTS (see prediction.Predictor's
+    # _fwd note): weight-free executables compile 3-5x faster and keep the
+    # persistent compilation cache entries small.
+    import functools
+
     @jax.jit
-    def forward(tiles):
+    def _forward(p, tiles):
         x = normalize_bgr(tiles)
-        return model.apply(params, x)
+        return model.apply(p, x)
+
+    forward = functools.partial(_forward, params)
 
     rng = np.random.default_rng(0)
     tiles = jnp.asarray(rng.integers(0, 255, (batch, size, size, 3),
@@ -172,8 +179,10 @@ def main() -> int:
             method = _stage_fn(upto)
 
             @jax.jit
-            def staged(t, _m=method):
-                return model.apply(params, normalize_bgr(t), method=_m)
+            def _staged(p, t, _m=method):
+                return model.apply(p, normalize_bgr(t), method=_m)
+
+            staged = functools.partial(_staged, params)
 
             float(staged(tiles))  # compile
             ts = []

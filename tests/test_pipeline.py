@@ -362,3 +362,36 @@ class TestTwoModelEndToEnd:
         assert (tmp_path / "out" / "predictions" / "urban").is_dir()
         assert (tmp_path / "out" / "predictions" / "forest").is_dir()
         assert outputs and os.path.exists(outputs[0])
+
+
+class TestPredictorCache:
+    def test_get_predictor_single_construction_under_race(self, monkeypatch):
+        """The async compile-warmup thread and the predict stage race into
+        ``get_predictor``; construction must happen exactly once (two
+        instances would double-load the checkpoint and issue two concurrent
+        device compiles, wedging single-tenant backends)."""
+        import threading
+        import time
+        from treedetection_tpu import prediction as pred_mod
+
+        built = []
+
+        class SlowStub:
+            def __init__(self, config, model_path):
+                time.sleep(0.05)  # widen the race window
+                built.append(self)
+
+        monkeypatch.setattr(pred_mod, "Predictor", SlowStub)
+        config = {}
+        results = [None, None]
+
+        def grab(i):
+            results[i] = pred_mod.get_predictor(config, "m.npz")
+
+        threads = [threading.Thread(target=grab, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(built) == 1
+        assert results[0] is results[1] is built[0]

@@ -133,7 +133,6 @@ def predict_on_model(config: Dict[str, Any], model_path: str,
                      pred_root: str) -> List[str]:
     """Run one model over all images with prediction recovery (reference
     ``detection.py:62-131``)."""
-    from treedetection_tpu.prediction import Predictor
     logger = config.get("logger")
     os.makedirs(pred_root, exist_ok=True)
     tiles_dir = config["tiles_path"]
@@ -158,7 +157,8 @@ def predict_on_model(config: Dict[str, Any], model_path: str,
         if img in done:
             continue
         if predictor is None:  # lazy: skip model load when fully recovered
-            predictor = Predictor(config, model_path)
+            from treedetection_tpu.prediction import get_predictor
+            predictor = get_predictor(config, model_path)
         meta_path = os.path.join(tiles_dir, f"{stem}.json")
         n = predictor(img, meta_path, out_dir, exclude_flag)
         completed.append(img)
@@ -267,6 +267,10 @@ def process_files(config: Dict[str, Any]) -> List[str]:
     from treedetection_tpu.parallel import ensure_distributed
     ensure_distributed(config, logger)
     t0 = time.time()
+    # overlap the first model compile with tiling/merging (the compile is
+    # remote/C++ work that releases the GIL)
+    from treedetection_tpu.prediction import start_compile_warmup
+    start_compile_warmup(config)
     preprocess_files(config)
     t1 = time.time()
     predict_tiles(config)

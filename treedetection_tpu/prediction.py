@@ -15,6 +15,7 @@ device (the dispatch is async; jax only blocks when outputs are fetched).
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 import os
@@ -37,6 +38,84 @@ from treedetection_tpu.preprocessing import load_tile_metadata
 # Per-call timing of the most recent Predictor run (compile vs stream vs
 # host polygonize) — consumed by bench.py's pipeline benchmark and DEBUG logs.
 LAST_RUN_STATS: Dict[str, float] = {}
+
+
+def get_predictor(config: Dict[str, Any], model_path: Optional[str]
+                  ) -> "Predictor":
+    """Per-run Predictor cache, stored on the config dict so the instance
+    (and with it the jit compile cache) is shared between the async compile
+    warmup and the predict stage — and dies with the run.
+
+    Construction is serialized under a lock: the warmup thread and the
+    predict stage race to build the first Predictor, and two instances
+    would double-load the checkpoint and — worse — issue two concurrent
+    device compiles, which wedges single-tenant remote backends."""
+    import threading
+    lock = config.setdefault("_predictor_lock", threading.Lock())
+    with lock:
+        cache = config.setdefault("_predictor_cache", {})
+        key = str(model_path)
+        p = cache.get(key)
+        if p is None:
+            p = Predictor(config, model_path)
+            cache[key] = p
+        return p
+
+
+def expected_pad(image_path: str, config: Dict[str, Any]) -> int:
+    """The canonical padded tile size the Predictor will use for this image —
+    computed from the tiling parameters alone (no tile metadata needed), with
+    the same window/rounding math as ``Predictor.__call__``."""
+    src = GeoTiff(image_path)
+    try:
+        tw = float(config.get("tile_width", 50))
+        th = float(config.get("tile_height", tw))
+        buf = float(config.get("buffer", 20))
+        minx, miny = src.bounds[0], src.bounds[1]
+        b = (minx - buf, miny - buf, minx + tw + buf, miny + th + buf)
+        win = src.transform.window_for_bounds(*b)
+        pad = max(win[2], win[3])
+    finally:
+        src.close()
+    return max(-(-int(pad) // 8) * 8, 32)
+
+
+def start_compile_warmup(config: Dict[str, Any]) -> Optional[Any]:
+    """Overlap the first model compile with preprocessing: spawn a daemon
+    thread that builds the first-used Predictor and jit-compiles its forward
+    for the pad the tiler will produce.  The compile is remote/C++ work that
+    releases the GIL, so tiling proceeds concurrently even on one core.
+    Returns the Thread (join for determinism in tests) or None.
+    """
+    if not config.get("compile_warmup", True):
+        return None
+    two_model = (config.get("urban_model") and config.get("forrest_model")
+                 and config.get("forrest_outline"))
+    model_path = (config.get("urban_model") if two_model
+                  else config.get("combined_model"))
+    import glob as _glob
+    images = sorted(_glob.glob(os.path.join(
+        config["image_directory"], "*.tif")))
+    if not images:
+        return None
+    logger = config.get("logger")
+
+    def run():
+        try:
+            pad = expected_pad(images[0], config)
+            get_predictor(config, model_path).warmup(pad)
+        except Exception as exc:  # warmup must never break the pipeline
+            if logger:
+                logger.debug(f"Compile warmup skipped: {exc}")
+
+    import threading
+    t = threading.Thread(target=run, name="td-compile-warmup", daemon=True)
+    # published so _get_forward can serialize against an in-flight warmup
+    # compile before building a DIFFERENT program (two concurrent remote
+    # compiles wedge single-tenant backends)
+    config["_warmup_thread"] = t
+    t.start()
+    return t
 
 
 def _resize_mask_np(mask: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -120,7 +199,18 @@ class Predictor:
             if mesh.size > 1:
                 self.mesh = mesh
                 self.batch_size = -(-self.batch_size // mesh.size) * mesh.size
-        self.params = jax.device_put(self.params)
+        if self.mesh is not None:
+            # replicate weights over the mesh so the arg-passed param tree is
+            # consistent with the sharded tile batch
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.params = jax.device_put(
+                self.params, NamedSharding(self.mesh, P()))
+        else:
+            # explicit device: random-init fallback params are committed to
+            # CPU (create_model pins init there) and device_put without a
+            # device preserves committed placement — as jit ARGS that would
+            # drag the whole forward onto CPU
+            self.params = jax.device_put(self.params, jax.devices()[0])
 
         # Per-window-geometry compile cache: the jitted program depends on the
         # padded tile size, which is canonicalized to a multiple of 8 so pixel
@@ -128,16 +218,19 @@ class Predictor:
         # share the normal geometry) reuses one compilation instead of paying
         # ~100 s per distinct pad on remote backends.
         self._fwd_cache: Dict[Tuple[int, int], Any] = {}
+        # the async compile-warmup thread and the predict stage may race to
+        # build the forward for the same pad; the lock makes them share one
+        # jit object (and thus one compile)
+        import threading
+        self._fwd_lock = threading.Lock()
 
     def _get_forward(self, pad: int):
         """-> (forward fn taking a (B, pad, pad, 3) uint8 batch, box scale
         back to padded-tile pixels).
 
-        Weights are captured as compile-time constants instead of jit
-        arguments: XLA then folds the frozen-BN scale/bias into the conv
-        weights and pre-lays-out kernels once at compile time.  (On the
-        axon remote backend this is also the difference between full MXU
-        throughput and a ~1000x argument-streaming penalty.)
+        Weights ride along as device-resident jit ARGUMENTS (pre-bound via
+        functools.partial), keeping the compiled executable weight-free —
+        see the note inside ``_fwd`` for why this beats closure constants.
         Input arrives as uint8 — 4x less host->device traffic than fp32;
         the cast/normalize runs on device fused into the stem conv's reads.
         """
@@ -152,36 +245,80 @@ class Predictor:
         else:
             content = size
         key = (pad, content)
-        cached = self._fwd_cache.get(key)
-        if cached is not None:
-            return cached
+        with self._fwd_lock:
+            cached = self._fwd_cache.get(key)
+            if cached is not None:
+                return cached
+        # Cache miss for a NEW program: if an async compile warmup is still
+        # in flight (its predicted pad may differ from the real one), wait
+        # for it first — two concurrent remote compiles wedge single-tenant
+        # backends.  Warmup itself runs on the warmup thread and must not
+        # join itself.
+        import threading
+        wt = self.config.get("_warmup_thread")
+        if wt is not None and wt is not threading.current_thread() \
+                and wt.is_alive():
+            wt.join(timeout=900)
+        with self._fwd_lock:
+            cached = self._fwd_cache.get(key)
+            if cached is not None:
+                return cached
+            return self._build_forward(key, pad, content, size)
+
+    def _build_forward(self, key, pad: int, content: int, size: int):
+        spec = self.spec
         model, params = self.model, self.params
         pixel_mean, pixel_std = spec.pixel_mean, spec.pixel_std
         mesh = self.mesh
 
-        def _fwd(raw_tiles):
-            # raw_tiles: (B, pad, pad, 3) uint8
+        def _fwd(p, raw_tiles):
+            # raw_tiles: (B, pad, pad, 3) uint8.  Weights arrive as a jit
+            # ARGUMENT, not a closure constant: embedding ~170 MB of weights
+            # as HLO constants made every compile ship them to the (possibly
+            # remote) compiler and bloated serialized executables to ~320 MB,
+            # turning the persistent compilation cache into a net loss.  As
+            # device-resident args the executable stays ~16 MB, compiles are
+            # 3-5x faster, and per-call latency is identical (measured on the
+            # axon relay; the formerly observed per-leaf argument-streaming
+            # penalty no longer reproduces).
             x = normalize_bgr(raw_tiles, pixel_mean, pixel_std)
             x = resize_bilinear(x, content, content)
             if content < size:  # shortest-edge: zero-pad to the static canvas
                 x = jnp.pad(x, ((0, 0), (0, size - content),
                                 (0, size - content), (0, 0)))
-            return model.apply(params, x)
+            return model.apply(p, x)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             data = NamedSharding(mesh, P(mesh.axis_names[0]))
 
-            def _sharded(raw_tiles):
+            def _sharded(p, raw_tiles):
                 raw_tiles = jax.lax.with_sharding_constraint(raw_tiles, data)
-                return _fwd(raw_tiles)
+                return _fwd(p, raw_tiles)
 
-            fn = jax.jit(_sharded)
+            jitted = jax.jit(_sharded)
         else:
-            fn = jax.jit(_fwd)
+            jitted = jax.jit(_fwd)
+        fn = functools.partial(jitted, params)
         entry = (fn, pad / content)
         self._fwd_cache[key] = entry
         return entry
+
+    def warmup(self, pad: int) -> None:
+        """Compile (and once-run) the forward for ``pad`` so the first real
+        batch dispatches against a hot jit cache.  Called from the async
+        compile-warmup thread; also useful in tests/serving to front-load the
+        compile."""
+        import time as _time
+        t0 = _time.time()
+        fn, _ = self._get_forward(pad)
+        out = fn(jnp.zeros((self.batch_size, pad, pad, 3), dtype=jnp.uint8))
+        jax.tree.map(lambda a: a.block_until_ready(), out)
+        self._warm_pads = getattr(self, "_warm_pads", set())
+        self._warm_pads.add(pad)
+        if self.logger:
+            self.logger.debug(
+                f"Warmup compile for pad {pad} took {_time.time() - t0:.1f}s")
 
     # -- tile loading --------------------------------------------------------
     def _load_tiles(self, tile_meta_path: str, exclude_flag: Optional[str]
