@@ -404,3 +404,29 @@ class TestInputSizeGuard:
         from treedetection_tpu.config import _validate_model_input_size
         monkeypatch.setenv("TD_ALLOW_UNSAFE_INPUT_SIZE", "1")
         _validate_model_input_size({"device": "tpu", "model_input_size": 512})
+
+
+class TestCheckpointLoadHostOnly:
+    def test_npz_load_returns_numpy_leaves(self, tmp_path):
+        """Checkpoint loading must stay on host: a per-leaf jnp.asarray
+        compiles one convert_element_type program per shape on the active
+        backend (~500 remote mini-compiles = minutes of load time)."""
+        import numpy as np
+        from treedetection_tpu.models.convert import (
+            save_checkpoint_npz, load_checkpoint)
+        params = {"a": {"w": np.ones((4, 4), np.float32),
+                        "b": np.zeros((7,), np.float32)}}
+        path = str(tmp_path / "m.npz")
+        save_checkpoint_npz(path, params)
+        out = load_checkpoint(path, depth=50)
+        leaves = []
+
+        def rec(t):
+            if isinstance(t, dict):
+                for v in t.values():
+                    rec(v)
+            else:
+                leaves.append(t)
+
+        rec(out)
+        assert leaves and all(type(a) is np.ndarray for a in leaves)

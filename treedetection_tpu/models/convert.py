@@ -175,8 +175,12 @@ def convert_detectron2_state_dict(sd: Mapping[str, Any], depth: int = 101,
         "box_head": box_head,
         "mask_head": mask_head,
     }
-    import jax.numpy as jnp
-    params = _tree_map_np(lambda a: jnp.asarray(a, dtype=jnp.float32), params)
+    # Host-side cast ONLY: every leaf stays a numpy array.  A per-leaf
+    # jnp.asarray here compiles one convert_element_type program per distinct
+    # shape on the active backend — ~500 mini-compiles that cost ~0.4 s each
+    # through a remote relay (minutes of "checkpoint load").  The caller does
+    # a single jax.device_put of the whole tree instead.
+    params = _tree_map_np(lambda a: np.asarray(a, dtype=np.float32), params)
     return {"params": params}
 
 
@@ -218,7 +222,8 @@ def save_checkpoint_npz(path: str, params: Dict[str, Any],
 
 
 def _load_npz_checkpoint(path: str) -> Dict[str, Any]:
-    import jax.numpy as jnp
+    # numpy-only: see load_torch_state_dict — per-leaf jnp.asarray triggers
+    # one remote convert_element_type compile per shape (minutes on a relay).
     out: Dict[str, Any] = {}
     with np.load(path) as z:
         for key in z.files:
@@ -226,7 +231,7 @@ def _load_npz_checkpoint(path: str) -> Dict[str, Any]:
             parts = key.split("/")
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
-            node[parts[-1]] = jnp.asarray(z[key], dtype=jnp.float32)
+            node[parts[-1]] = np.asarray(z[key], dtype=np.float32)
     return out
 
 
