@@ -34,14 +34,25 @@ def _predictions_dir(config: Dict[str, Any]) -> str:
     return os.path.join(config["output_directory"], "predictions")
 
 
-def _list_images(config: Dict[str, Any]) -> Tuple[List[str], List[str]]:
+def _num_hosts() -> int:
+    num_hosts = int(os.environ.get("TREEDETECTION_NUM_HOSTS", 0))
+    if not num_hosts:
+        import jax
+        num_hosts = jax.process_count()
+    return num_hosts
+
+
+def _list_images(config: Dict[str, Any],
+                 partition: bool = True) -> Tuple[List[str], List[str]]:
     """Glob + continue-filter + merged-strip inclusion for both directories
     (reference ``detection.py:277-285``).
 
     On a multi-host run each process sees only its deterministic slice of the
     image list (``parallel.partition_files`` — the multi-host replacement for
     the reference's ThreadPool file loop); height rasters are NOT partitioned
-    because any image may need any height twin for regex matching.
+    because any image may need any height twin for regex matching.  Pass
+    ``partition=False`` to get the FULL list (needed wherever planning must
+    see every raster, e.g. cross-host seam-neighbor search).
     """
     images = sorted(glob.glob(os.path.join(config["image_directory"], "*.tif")))
     heights = sorted(glob.glob(os.path.join(config["height_data_path"], "*.tif")))
@@ -53,13 +64,9 @@ def _list_images(config: Dict[str, Any]) -> Tuple[List[str], List[str]]:
     skip = set(recoveries.load_continue_file(config.get("continue")))
     images = [p for p in images if os.path.basename(p) not in skip
               and p not in skip]
-    from treedetection_tpu.parallel import partition_files
-    num_hosts = int(os.environ.get("TREEDETECTION_NUM_HOSTS", 0))
-    if not num_hosts:
-        import jax
-        num_hosts = jax.process_count()
-    if num_hosts > 1:
-        images = partition_files(images, num_hosts=num_hosts)
+    if partition and _num_hosts() > 1:
+        from treedetection_tpu.parallel import partition_files
+        images = partition_files(images, num_hosts=_num_hosts())
     return images, heights
 
 
@@ -106,19 +113,40 @@ def match_image_heights(config: Dict[str, Any], images: List[str],
 # --- stage 1 ----------------------------------------------------------------
 
 def preprocess_files(config: Dict[str, Any]) -> List[str]:
-    """Overlap merging + tiling (reference ``detection.py:256-339``)."""
+    """Overlap merging + tiling (reference ``detection.py:256-339``).
+
+    Multi-host: seam-neighbor planning runs over the FULL image list (a
+    per-host slice would silently drop every cross-host seam — crowns along
+    host boundaries are deleted by the overlap-interior exclusion but never
+    re-predicted from a strip).  Each host then generates only the strips
+    whose primary (left/top) raster falls in its deterministic slice, and
+    tiles its slice plus its own strips.  Any host can read any raster from
+    shared storage; each strip is written by exactly one host.
+    """
     Config()._load_into_config(config)
     logger = config.get("logger")
-    images, heights = _list_images(config)
+    images_full, heights_full = _list_images(config, partition=False)
     # only base (non-merged) files participate in neighbor merging
     merged_dir = config.get("merged_path", "merged")
-    base_images = [p for p in images if merged_dir not in Path(p).parts]
-    base_heights = [p for p in heights if merged_dir not in Path(p).parts]
+    base_images = [p for p in images_full if merged_dir not in Path(p).parts]
+    base_heights = [p for p in heights_full if merged_dir not in Path(p).parts]
+    num_hosts = _num_hosts()
+    if num_hosts > 1:
+        from treedetection_tpu.parallel import partition_files
+        my_images = partition_files(base_images, num_hosts=num_hosts)
+        my_heights = partition_files(base_heights, num_hosts=num_hosts)
+    else:
+        my_images, my_heights = list(base_images), list(base_heights)
+    heights = list(base_heights)
     if config.get("use_overlap", True):
-        merge_and_crop_images(config, base_images, base_heights)
-        images = base_images
-        heights = base_heights
-    pairs = match_image_heights(config, images, heights)
+        images = list(base_images)
+        merge_and_crop_images(config, images, heights,
+                              owned_images=set(my_images),
+                              owned_heights=set(my_heights))
+        # tile this host's base slice + the strips it just created/owns
+        base_set = set(base_images)
+        my_images += [p for p in images if p not in base_set]
+    pairs = match_image_heights(config, my_images, heights)
     forest_outline = config.get("forrest_outline")
     tile_files = tile_data(config, list(pairs.keys()), forest_outline)
     if logger:
@@ -217,10 +245,28 @@ def postprocess_files(config: Dict[str, Any]) -> List[str]:
     images, heights = _list_images(config)
 
     stitched = sorted(glob.glob(os.path.join(pred_root, "*.gpkg")))
+    only_stems = all_stems = None
+    orphan_owner = True
+    index_images = images
+    if _num_hosts() > 1:
+        # each stitched layer is postprocessed by exactly ONE host (the one
+        # owning its image in the partition); without this every host redoes
+        # — and race-writes — every file on shared storage
+        images_full, _ = _list_images(config, partition=False)
+        index_images = images_full  # raster index may need any raster
+        only_stems = {Path(p).stem for p in images}
+        all_stems = {Path(p).stem for p in images_full}
+        orphan_owner = int(os.environ.get(
+            "TREEDETECTION_HOST_ID", __import__("jax").process_index())) == 0
+        stitched = [p for p in stitched
+                    if Path(p).stem in only_stems
+                    or (orphan_owner and Path(p).stem not in all_stems)]
     exclude_outlines(stitched, config.get("exclude_files", []), logger)
     processed = process_files_in_directory(
-        config, pred_root, images, heights,
-        out_dir=config["output_directory"])
+        config, pred_root, index_images, heights,
+        out_dir=config["output_directory"],
+        only_stems=only_stems, all_stems=all_stems,
+        orphan_owner=orphan_owner)
 
     # final copy (reference detection.py:46-59)
     out_root = config["output_directory"]
@@ -272,8 +318,13 @@ def process_files(config: Dict[str, Any]) -> List[str]:
     from treedetection_tpu.prediction import start_compile_warmup
     start_compile_warmup(config)
     preprocess_files(config)
+    # Cross-host barrier: a host's predict stage may be assigned images that
+    # a DIFFERENT host tiled (and seam strips another host wrote) — all
+    # preprocessing must be on shared storage before any host reads it.
+    _multihost_barrier("preprocess_done", logger)
     t1 = time.time()
     predict_tiles(config)
+    _multihost_barrier("predict_done", logger)
     t2 = time.time()
     outputs = postprocess_files(config)
     t3 = time.time()
@@ -286,6 +337,21 @@ def process_files(config: Dict[str, Any]) -> List[str]:
             f"total {t4 - t0:.1f}s")
     _log_multihost_totals(outputs, logger)
     return outputs
+
+
+def _multihost_barrier(name: str, logger) -> None:
+    """Block until every host reaches this point (jax collective fabric).
+    No-op single-host and under the env-var host simulation (simulated hosts
+    run sequentially, which is itself a barrier)."""
+    import jax
+    if jax.process_count() <= 1:
+        return
+    try:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+    except Exception as exc:  # a failed barrier must not kill the pipeline
+        if logger:
+            logger.warning(f"Cross-host barrier {name} failed: {exc}")
 
 
 def _log_multihost_totals(outputs: List[str], logger) -> None:
