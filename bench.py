@@ -73,7 +73,13 @@ def bench_pipeline() -> dict:
         stats = dict(prediction.LAST_RUN_STATS)
         compile_s = stats.get("compile_s", 0.0)
         steady = n_tiles / max(wall - compile_s, 1e-9)
+        from treedetection_tpu import postprocessing
+        pp = {k: round(v, 2)
+              for k, v in postprocessing.LAST_POSTPROCESS_STATS.items()}
+        print(f"bench: postprocess phases {pp}", file=sys.stderr)
+        print(f"bench: predictor stages {stats}", file=sys.stderr)
         return {
+            "postprocess_phase_s": pp,
             "pipeline_tiles_per_sec": round(n_tiles / max(wall, 1e-9), 3),
             "pipeline_tiles_per_sec_excl_compile": round(steady, 3),
             "pipeline_wall_s": round(wall, 1),
@@ -207,12 +213,14 @@ def main() -> int:
                     for _ in range(iters)]
     staged = jnp.asarray(host_batches[0])
     compute_times = []
-    for i in range(3):
+    for i in range(5):  # median-of-5: tunnel health varies run to run
         t0 = time.time()
         jax.device_get(forward(staged))
         compute_times.append(time.time() - t0)
     print(f"bench: compute-only (pre-staged input) "
-          f"{np.median(compute_times) * 1e3:.1f}ms/batch", file=sys.stderr)
+          f"{np.median(compute_times) * 1e3:.1f}ms/batch "
+          f"(5 runs: {[round(t * 1e3) for t in compute_times]})",
+          file=sys.stderr)
 
     t_stream0 = time.time()
     next_buf = jax.device_put(host_batches[0])

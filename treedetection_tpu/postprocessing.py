@@ -41,6 +41,18 @@ from treedetection_tpu.vector.polygon import PolygonSet, ensure_open
 
 AREA_UPPER_BOUND = 1000.0  # m^2; reference postprocessing.py:765-767
 
+# Cumulative per-phase wall-clock over the process' postprocess calls —
+# read by bench.py (BENCH_DETAIL) and perf triage; reset with .clear().
+LAST_POSTPROCESS_STATS: Dict[str, float] = {}
+
+
+def _phase(name: str, t0: float) -> float:
+    import time as _time
+    now = _time.time()
+    LAST_POSTPROCESS_STATS[name] = \
+        LAST_POSTPROCESS_STATS.get(name, 0.0) + (now - t0)
+    return now
+
 
 # --- dedupe ----------------------------------------------------------------
 
@@ -274,6 +286,8 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
     (kept geometries, property dicts)."""
     if not crowns:
         return [], []
+    import time as _time
+    _t = _time.time()
 
     scores = np.asarray(scores, dtype=np.float32)
     conf = float(config.get("confidence_threshold", 0.3))
@@ -291,6 +305,7 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
     scores = scores[np.asarray(nonempty, dtype=bool)]
     if not crowns:
         return [], []
+    _t = _phase("simplify", _t)
 
     # Device math runs in float32, where UTM-magnitude coordinates (~5e6 m
     # northing) have an ulp of 0.5 m — shoelace/stat cancellation at that
@@ -315,6 +330,7 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
     bounds = ps.bounds()
     centroids = np.asarray(polygon_centroids_batch(polys_j))[:n_all] \
         + offset[None, :]
+    _t = _phase("areas_centroids", _t)
 
     area_lo = float(config.get("area_threshold", 1))
     keep = (areas >= area_lo) & (areas <= AREA_UPPER_BOUND)
@@ -326,6 +342,7 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
             bounds[keep_idx], areas[keep_idx], scores[keep_idx],
             float(config.get("iou_threshold", 0.5)))
         keep[keep_idx[~dk]] = False
+    _t = _phase("iou_dedupe", _t)
 
     # raster stats only on the post-dedupe survivors (the reference also
     # computes stats after dedupe, ``process_features``); bucketed subset
@@ -361,6 +378,7 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
                 compat_circle=compat_circle)
             mean_ndvi[sub] = np.asarray(st.mean)[:len(sub)]
             var_ndvi[sub] = np.asarray(st.var)[:len(sub)]
+    _t = _phase("raster_stats", _t)
 
     # border/overlap exclusion (same local frame as the polygon bounds)
     if raster_bounds is not None:
@@ -391,6 +409,7 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
     ckeep = apply_containment_rules_sparse(
         pairs_i, pairs_j, mean_ndvi[idx], var_ndvi[idx], areas[idx], m)
     final_idx = idx[ckeep]
+    _t = _phase("containment", _t)
 
     out_geoms: List[np.ndarray] = []
     out_props: List[Dict[str, Any]] = []
@@ -510,7 +529,10 @@ def process_single_file(gpkg_path: str, config: Dict[str, Any],
                         out_path: str, is_merged_strip: bool = False) -> int:
     """Filter one stitched GPKG -> processed GPKG; returns crown count
     (reference ``process_single_file``, ``postprocessing.py:876-943``)."""
+    import time as _time2
+    _tr = _time2.time()
     geoms, props, srs = read_gpkg(gpkg_path)
+    _phase("gpkg_read", _tr)
     crowns = []
     scores = []
     for g, p in zip(geoms, props):
@@ -518,11 +540,16 @@ def process_single_file(gpkg_path: str, config: Dict[str, Any],
             continue
         crowns.append(np.asarray(g[0][0], dtype=np.float64))
         scores.append(float(p.get("Confidence_score", 0.0)))
+    import time as _time
+    _t0 = _time.time()
     hr, ha, nr, na, rb = load_rasters_for_file(height_path, rgbi_path, config)
+    _phase("raster_load", _t0)
     out_geoms, out_props = process_crowns(
         crowns, np.asarray(scores, dtype=np.float32), config,
         hr, ha, nr, na, rb, is_merged_strip=is_merged_strip)
+    _tw = _time2.time()
     write_gpkg(out_path, out_geoms, out_props, srs_id=srs)
+    _phase("gpkg_write", _tw)
     return len(out_geoms)
 
 
