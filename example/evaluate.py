@@ -1,15 +1,27 @@
-"""Score the example pipeline output against the Voronoi autolabels.
+"""Score the example pipeline output against crown labels.
 
-Closes the quality loop (VERDICT r1 item 1b): after ``example/train_full.py``
-and ``example/example.py``, this computes P/R/F1 + mean IoU of the processed
-crown layer vs ``data/autolabels.gpkg`` (the training labels) over a
-confidence sweep, and records ``data/eval_report.json``.
+Closes the quality loop (VERDICT r1 item 1b, r2 task 5): after
+``example/train_full.py`` and ``example/example.py``, computes P/R/F1 +
+mean IoU of the processed crown layer vs a label set over a confidence
+sweep and records ``data/eval_report.json``.
+
+Modes:
+  default              eval vs ``data/autolabels.gpkg`` (training labels —
+                       a CLOSED loop, kept for continuity)
+  --holdout            restrict predictions AND labels to the spatially
+                       held-out region recorded by
+                       ``train_full.py --holdout-frac`` in
+                       ``data/holdout.json`` — labels there were never
+                       seen in training (report carries held_out: true)
+  --labels PATH        eval against a different label set (e.g. region-grow
+                       autolabels for a cross-generator check)
 
 Reference counterpart: ``supplementary/training_validation.py`` (confidence
-sweep on one image) + ``supplementary/evaluation_compute_scores.py`` (greedy
-IoU matching).
+sweep) + ``supplementary/evaluation_compute_scores.py`` (greedy IoU
+matching; its GT was independent annotation).
 """
 
+import argparse
 import glob
 import json
 import os
@@ -20,28 +32,52 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+def _centroid_in(poly, b):
+    c = poly.mean(axis=0)
+    return b[0] <= c[0] <= b[2] and b[1] <= c[1] <= b[3]
+
+
 def main() -> int:
     from treedetection_tpu.vector import read_gpkg
     from treedetection_tpu.eval.scores import evaluate
 
-    labels = os.path.join(HERE, "data", "autolabels.gpkg")
-    outputs = sorted(glob.glob(os.path.join(HERE, "output", "processed_*.gpkg")))
-    if len(sys.argv) > 1:
-        outputs = [sys.argv[1]]
-    if not outputs or not os.path.exists(labels):
-        print("need example/output/processed_*.gpkg and data/autolabels.gpkg "
+    ap = argparse.ArgumentParser()
+    ap.add_argument("outputs", nargs="*", default=None,
+                    help="processed_*.gpkg layers (default: example/output)")
+    ap.add_argument("--labels", default=os.path.join(HERE, "data",
+                                                     "autolabels.gpkg"))
+    ap.add_argument("--holdout", action="store_true",
+                    help="restrict to the held-out region of data/holdout.json")
+    ap.add_argument("--report", default=os.path.join(HERE, "data",
+                                                     "eval_report.json"))
+    args = ap.parse_args()
+
+    outputs = args.outputs or sorted(
+        glob.glob(os.path.join(HERE, "output", "processed_*.gpkg")))
+    if not outputs or not os.path.exists(args.labels):
+        print("need processed_*.gpkg layers and a label gpkg "
               "(run train_full.py then example.py first)", file=sys.stderr)
         return 1
 
-    gt_geoms, _, _ = read_gpkg(labels)
+    region = None
+    if args.holdout:
+        with open(os.path.join(HERE, "data", "holdout.json")) as fh:
+            region = json.load(fh)["held_out_bounds"]
+
+    gt_geoms, _, _ = read_gpkg(args.labels)
     gt = [np.asarray(g[0][0], dtype=np.float64) for g in gt_geoms if g and g[0]]
+    if region:
+        gt = [g for g in gt if _centroid_in(g, region)]
 
     preds, scores = [], []
     for p in outputs:
         geoms, props, _ = read_gpkg(p)
         for g, pr in zip(geoms, props):
             if g and g[0]:
-                preds.append(np.asarray(g[0][0], dtype=np.float64))
+                poly = np.asarray(g[0][0], dtype=np.float64)
+                if region and not _centroid_in(poly, region):
+                    continue
+                preds.append(poly)
                 scores.append(float(pr.get("Confidence_score", 0.0)))
 
     rows = []
@@ -57,11 +93,13 @@ def main() -> int:
 
     best = max(rows, key=lambda r: r["f1"])
     report = {"n_predictions": len(preds), "n_ground_truth": len(gt),
+              "labels": os.path.basename(args.labels),
+              "held_out": bool(region),
+              "held_out_bounds": region,
               "sweep": rows, "best_f1": best["f1"], "best_point": best}
-    out = os.path.join(HERE, "data", "eval_report.json")
-    with open(out, "w") as fh:
+    with open(args.report, "w") as fh:
         json.dump(report, fh, indent=1)
-    print(json.dumps({"best_f1": round(best["f1"], 4),
+    print(json.dumps({"best_f1": round(best["f1"], 4), "held_out": bool(region),
                       "n_predictions": len(preds), "n_gt": len(gt)}))
     return 0
 

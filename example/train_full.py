@@ -42,6 +42,10 @@ def main() -> int:
                              "use with --preset update")
     parser.add_argument("--ckpt", default=os.path.join(HERE, "data",
                                                        "model_full.ckpt"))
+    parser.add_argument("--holdout-frac", type=float, default=0.0,
+                        help="spatially hold out the eastern fraction of the "
+                             "sample from training (0 disables); the held-out "
+                             "bounds land in data/holdout.json for evaluate.py")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO,
@@ -73,6 +77,20 @@ def main() -> int:
     from treedetection_tpu.train.data import (
         ShardDataset, make_training_tiles, train_test_split, write_shards)
     import glob
+    exclude_bounds = None
+    if args.holdout_frac > 0:
+        from treedetection_tpu.geo import GeoTiff
+        g = GeoTiff(rgb)
+        b = g.bounds
+        g.close()
+        cutoff = b[2] - (b[2] - b[0]) * args.holdout_frac
+        exclude_bounds = (cutoff, b[1], b[2], b[3])
+        with open(os.path.join(HERE, "data", "holdout.json"), "w") as fh:
+            json.dump({"held_out_bounds": exclude_bounds,
+                       "holdout_frac": args.holdout_frac}, fh)
+        shards_dir = os.path.join(HERE, "data", "full_shards_holdout")
+        log.info(f"[2/4] spatial holdout: excluding x >= {cutoff:.0f} "
+                 f"({args.holdout_frac:.0%} of the sample) from training")
     existing = sorted(glob.glob(os.path.join(shards_dir, "train_*.npz")))
     if existing:
         shards = existing
@@ -80,7 +98,8 @@ def main() -> int:
     else:
         examples = make_training_tiles(
             rgb, labels, tile_size_m=50, buffer_m=20,
-            input_size=args.input_size, max_gt=args.max_gt, store_uint8=True)
+            input_size=args.input_size, max_gt=args.max_gt, store_uint8=True,
+            exclude_bounds=exclude_bounds)
         shards = write_shards(examples, shards_dir, shard_size=8)
         log.info(f"[2/4] wrote {len(shards)} shards")
     (train_shards, val_shards), = train_test_split(shards, 0.15)
@@ -131,8 +150,12 @@ def main() -> int:
         "val_loss": [round(float(v), 4) for v in history["val_loss"]],
         "input_size": args.input_size, "depth": args.depth,
         "backend": jax.default_backend(),
+        "holdout_frac": args.holdout_frac,
+        "held_out_bounds": exclude_bounds,
     }
-    with open(os.path.join(HERE, "data", "train_full_report.json"), "w") as fh:
+    report_name = ("train_full_report.json" if not args.holdout_frac
+                   else "train_holdout_report.json")
+    with open(os.path.join(HERE, "data", report_name), "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report))
     log.info("[4/4] report written; serve with combined_model: "

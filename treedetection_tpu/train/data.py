@@ -41,7 +41,8 @@ def _crowns_in_tile(crowns: List[np.ndarray],
 def make_training_tiles(image_path: str, crowns_gpkg: str,
                         tile_size_m: float = 50.0, buffer_m: float = 20.0,
                         input_size: int = 1024, max_gt: int = 64,
-                        min_crowns: int = 1, store_uint8: bool = False
+                        min_crowns: int = 1, store_uint8: bool = False,
+                        exclude_bounds: "Optional[Tuple[float, float, float, float]]" = None
                         ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield per-tile training examples from one (raster, annotations) pair.
 
@@ -52,6 +53,10 @@ def make_training_tiles(image_path: str, crowns_gpkg: str,
     (max_gt, S/4, S/4) float32 (uint8 0/1 when ``store_uint8``), valid
     (max_gt,) bool.  Tiles without annotations are skipped (the reference's
     tiler also drops empty tiles).
+
+    ``exclude_bounds`` (x0, y0, x1, y1) drops every tile whose BUFFERED
+    window intersects that region — the spatial held-out split for honest
+    eval (no pixel of the held-out region is ever seen in training).
     """
     from treedetection_tpu.vector.polygon import polygons_bounds, ensure_open
     src = GeoTiff(image_path)
@@ -70,6 +75,12 @@ def make_training_tiles(image_path: str, crowns_gpkg: str,
         for ty in np.arange(bounds[1], bounds[3], step):
             tile_box = (tx - buffer_m, ty - buffer_m,
                         tx + tile_size_m + buffer_m, ty + tile_size_m + buffer_m)
+            if exclude_bounds is not None and not (
+                    tile_box[2] <= exclude_bounds[0]
+                    or tile_box[0] >= exclude_bounds[2]
+                    or tile_box[3] <= exclude_bounds[1]
+                    or tile_box[1] >= exclude_bounds[3]):
+                continue
             idxs = _crowns_in_tile(crowns, cb, tile_box)
             if len(idxs) < min_crowns:
                 continue
