@@ -456,10 +456,11 @@ def test_pallas_roi_align_full_model_oracle(monkeypatch):
     composed program, not just the kernel in isolation."""
     import functools
     from treedetection_tpu.models import mask_rcnn as mr
-    from treedetection_tpu.ops.roi_align import multilevel_roi_align as mra
+    from treedetection_tpu.ops.roi_align import (
+        multilevel_roi_align_batched as mrab)
     monkeypatch.setattr(
-        mr, "multilevel_roi_align",
-        functools.partial(mra, pallas=True, force_interpret=True))
+        mr, "multilevel_roi_align_batched",
+        functools.partial(mrab, pallas=True, force_interpret=True))
     sd = _make_fake_d2_state_dict(depth=50)
     cfg = MaskRCNNConfig(depth=50, input_size=128, bf16=False,
                          rpn_pre_nms_topk=100, rpn_post_nms_topk=50,

@@ -303,6 +303,9 @@ class ModelSpec:
     post_nms_topk: int = 1000
     rpn_nms_threshold: float = 0.7
     max_detections: int = 100
+    # approx_max_k for RPN levels above this anchor count (0 = exact; the
+    # TPU-shaped top-k for P2's 196k anchors — recall 0.99, sub-NMS effect)
+    rpn_approx_topk_from: int = 16384
     mask_resolution: int = 28
     anchor_sizes: Tuple[int, ...] = (32, 64, 128, 256, 512)
     anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
@@ -339,6 +342,7 @@ def model_spec(config: Dict[str, Any]) -> ModelSpec:
         pre_nms_topk=int(config.get("rpn_pre_nms_topk", 1000)),
         post_nms_topk=int(config.get("rpn_post_nms_topk", 1000)),
         max_detections=int(config.get("max_detections", 100)),
+        rpn_approx_topk_from=int(config.get("rpn_approx_topk_from", 16384)),
         bf16=bool(config.get("mixed_precision", True)),
         test_resize=str(config.get("test_resize", "fixed")),
         resize_shortest_edge=int(config.get("resize_shortest_edge", 800)),

@@ -23,7 +23,8 @@ from treedetection_tpu.models.resnet import ResNetFPN
 from treedetection_tpu.models.rpn import RPNHead, generate_proposals
 from treedetection_tpu.models.roi_heads import (
     BoxHead, Detections, MaskHead, box_inference)
-from treedetection_tpu.ops.roi_align import multilevel_roi_align
+from treedetection_tpu.ops.roi_align import (
+    multilevel_roi_align, multilevel_roi_align_batched)
 
 FPN_STRIDES = (4, 8, 16, 32, 64)
 
@@ -43,6 +44,12 @@ class MaskRCNNConfig:
     box_pool: int = 7
     bf16: bool = True
     remat: bool = False  # rematerialize backbone blocks (training memory)
+    # TPU-optimized approximate top-k (jax.lax.approx_max_k) for RPN levels
+    # with more anchors than this; P2 at 1024^2 has 196k anchors where exact
+    # top-k sorts poorly on TPU.  0 disables (exact everywhere — the oracle
+    # parity mode).  recall_target 0.99: only near-duplicate low-scoring
+    # anchors ever differ, below NMS granularity.
+    rpn_approx_topk_from: int = 0
 
     @property
     def dtype(self):
@@ -81,41 +88,54 @@ class MaskRCNN(nn.Module):
 
     def __call__(self, images: jnp.ndarray) -> ModelOutput:
         c = self.cfg
+        B = images.shape[0]
         feats = self.backbone(images.astype(c.dtype))       # [P2..P6] NHWC
         logits, deltas = self.rpn_head(feats)
 
-        def per_image(args):
-            f_img, lg_img, dl_img = args
-            props = generate_proposals(
+        # proposal selection stays per-image (top-k/NMS are tiny), but the
+        # ROI pooling + heads run WHOLE-BATCH: each vmapped pallas_call paid
+        # its ~2 ms prologue per image; one batched launch pays it once
+        # (measured 15.9 -> ~10 ms box pool, 15.3 -> ~4 ms mask pool at B=8).
+        def per_image_props(lg_img, dl_img):
+            return generate_proposals(
                 lg_img, dl_img, self._anchors, c.input_size,
-                c.rpn_pre_nms_topk, c.rpn_post_nms_topk, c.rpn_nms_threshold)
-            # ROIAlign gathers run in the compute dtype (bf16 on TPU): halves
-            # the gather traffic; the interpolation error is far below the
-            # mask threshold granularity.
-            pooled, box_of = multilevel_roi_align(
-                [f.astype(c.dtype) for f in f_img[:4]], props.boxes,
-                c.box_pool, FPN_STRIDES[:4], return_overflow=True)
-            cls_logits, box_deltas = self.box_head(pooled.astype(c.dtype))
-            det = box_inference(
-                cls_logits, box_deltas, props.boxes, props.scores,
-                c.input_size, c.score_threshold, c.nms_threshold,
-                c.max_detections)
-            mask_pooled, mask_of = multilevel_roi_align(
-                [f.astype(c.dtype) for f in f_img[:4]], det.boxes,
-                c.mask_pool, FPN_STRIDES[:4], return_overflow=True)
-            mask_logits = self.mask_head(mask_pooled.astype(c.dtype))
-            probs = jax.nn.sigmoid(mask_logits[..., 0])     # (D, 28, 28)
-            masks = jnp.round(probs * 255.0).astype(jnp.uint8)
-            return det, masks, jnp.maximum(box_of, mask_of)
+                c.rpn_pre_nms_topk, c.rpn_post_nms_topk, c.rpn_nms_threshold,
+                approx_topk_from=c.rpn_approx_topk_from)
 
-        # vmap over the batch: per-level features/outputs become leading-batch
-        # pytrees automatically.
-        det, masks, roi_of = jax.vmap(
-            lambda f, l, d: per_image((f, l, d)),
-            in_axes=(0, 0, 0))(feats, logits, deltas)
+        props = jax.vmap(per_image_props)(logits, deltas)   # (B, K, ...)
+        K = props.boxes.shape[1]
+
+        # ROIAlign gathers run in the compute dtype (bf16 on TPU): halves
+        # the gather traffic; the interpolation error is far below the
+        # mask threshold granularity.
+        feats4 = [f.astype(c.dtype) for f in feats[:4]]
+        pooled, box_of = multilevel_roi_align_batched(
+            feats4, props.boxes, c.box_pool, FPN_STRIDES[:4],
+            return_overflow=True)                           # (B, K, R, R, C)
+        cls_logits, box_deltas = self.box_head(
+            pooled.reshape((B * K,) + pooled.shape[2:]).astype(c.dtype))
+        cls_logits = cls_logits.reshape(B, K, -1)
+        box_deltas = box_deltas.reshape(B, K, -1)
+
+        det = jax.vmap(
+            lambda cl, bd, pb, ps: box_inference(
+                cl, bd, pb, ps, c.input_size, c.score_threshold,
+                c.nms_threshold, c.max_detections)
+        )(cls_logits, box_deltas, props.boxes, props.scores)
+        D = det.boxes.shape[1]
+
+        mask_pooled, mask_of = multilevel_roi_align_batched(
+            feats4, det.boxes, c.mask_pool, FPN_STRIDES[:4],
+            return_overflow=True)                           # (B, D, r, r, C)
+        mask_logits = self.mask_head(
+            mask_pooled.reshape((B * D,) + mask_pooled.shape[2:])
+            .astype(c.dtype))
+        probs = jax.nn.sigmoid(mask_logits[..., 0])         # (B*D, 28, 28)
+        masks = jnp.round(probs * 255.0).astype(jnp.uint8)
+        masks = masks.reshape((B, D) + masks.shape[1:])
         return ModelOutput(boxes=det.boxes, scores=det.scores,
                            classes=det.classes, valid=det.valid, masks=masks,
-                           roi_overflow=roi_of)
+                           roi_overflow=jnp.maximum(box_of, mask_of))
 
 
 def create_model(cfg: Optional[MaskRCNNConfig] = None,

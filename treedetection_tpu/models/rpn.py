@@ -53,11 +53,17 @@ def generate_proposals(logits: Sequence[jnp.ndarray],
                        pre_nms_topk: int = 1000,
                        post_nms_topk: int = 1000,
                        nms_threshold: float = 0.7,
-                       min_size: float = 0.0) -> Proposals:
+                       min_size: float = 0.0,
+                       approx_topk_from: int = 0) -> Proposals:
     """Single-image proposal selection (vmap over batch at the caller).
 
     ``logits[l]``: (H, W, A); ``deltas[l]``: (H, W, A*4); ``anchors[l]``:
     (H*W*A, 4) static constants.
+
+    ``approx_topk_from`` > 0 switches levels with more anchors than that to
+    ``jax.lax.approx_max_k`` (recall_target 0.99) — the TPU-shaped top-k for
+    P2's ~196k anchors at 1024^2 input, where the exact sort dominates the
+    proposal stage.  Exact mode (0) is the oracle-parity default.
     """
     from treedetection_tpu.ops.nms import nms_mask
 
@@ -70,7 +76,11 @@ def generate_proposals(logits: Sequence[jnp.ndarray],
         scores = lg.reshape(n).astype(jnp.float32)
         d = dl.reshape(n, 4).astype(jnp.float32)
         k = min(pre_nms_topk, n)
-        top_scores, idx = jax.lax.top_k(scores, k)
+        if approx_topk_from and n > approx_topk_from:
+            top_scores, idx = jax.lax.approx_max_k(
+                scores, k, recall_target=0.99)
+        else:
+            top_scores, idx = jax.lax.top_k(scores, k)
         boxes = apply_deltas(d[idx], an[idx])
         boxes = clip_boxes(boxes, image_size, image_size)
         if min_size > 0:

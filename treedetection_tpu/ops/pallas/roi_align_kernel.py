@@ -33,11 +33,12 @@ def available() -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("resolution", "patch", "chunk",
-                                             "interpret"))
+                                             "interpret", "slots"))
 def roi_pool_patches(fmaps_padded: Tuple[jnp.ndarray, ...],
                      meta: jnp.ndarray, ay: jnp.ndarray, ax: jnp.ndarray,
                      resolution: int, patch: int,
-                     chunk: int, interpret: bool = False) -> jnp.ndarray:
+                     chunk: int, interpret: bool = False,
+                     slots: int = 2) -> jnp.ndarray:
     """Pool N boxes -> (N, R, R, C).
 
     ``fmaps_padded``: per-level (H_l+patch, W_l+cpatch, C) arrays
@@ -46,6 +47,11 @@ def roi_pool_patches(fmaps_padded: Tuple[jnp.ndarray, ...],
     8-aligned — the caller aligns col0 down and widens the column window.
     ``meta``: (N, 3) int32 [level, row0, col0] patch origins (col0 % 8 == 0).
     ``ay``: (N, R, patch) / ``ax``: (N, R, cpatch) float32 hat matrices.
+
+    ``meta`` is split into three 1-D scalar-prefetch operands internally: a
+    2-D SMEM operand is lane-padded to (N, 128), which blows the 1 MB SMEM
+    budget for whole-batch N (8 x 1008 boxes -> 4 MB); three (N,) vectors
+    stay at 4 bytes per box.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -59,7 +65,7 @@ def roi_pool_patches(fmaps_padded: Tuple[jnp.ndarray, ...],
     grid = n // chunk
     assert n % chunk == 0, "caller pads N to a chunk multiple"
 
-    def kernel(meta_ref, w_y_ref, w_x_ref, *rest):
+    def kernel(lvl_ref, row_ref, col_ref, w_y_ref, w_x_ref, *rest):
         frefs = rest[:n_levels]
         out_ref = rest[n_levels]
         patch_scratch = rest[n_levels + 1]
@@ -68,9 +74,9 @@ def roi_pool_patches(fmaps_padded: Tuple[jnp.ndarray, ...],
 
         def _copy(k, slot):
             i = pid * chunk + k
-            lvl = meta_ref[i, 0]
-            r0 = meta_ref[i, 1]
-            c0 = pl.multiple_of(meta_ref[i, 2], 8)
+            lvl = lvl_ref[i]
+            r0 = row_ref[i]
+            c0 = pl.multiple_of(col_ref[i], 8)
             def mk(l):
                 return pltpu.make_async_copy(
                     frefs[l].at[pl.ds(r0, patch), pl.ds(c0, cpatch), :],
@@ -93,15 +99,19 @@ def roi_pool_patches(fmaps_padded: Tuple[jnp.ndarray, ...],
                 def _(l=l):
                     mk(l).wait()
 
-        dma(0, 0)
+        # S-deep DMA pipeline: slots-1 copies in flight hide the per-patch
+        # HBM latency (the kernel is latency-, not bandwidth-, bound: each
+        # patch is ~1 MB but issued one box at a time)
+        for w in range(min(slots - 1, chunk) or 1):
+            dma(w, w % slots)
 
         def body(k, _):
-            cur = jax.lax.rem(k, 2)
-            nxt = jax.lax.rem(k + 1, 2)
+            cur = jax.lax.rem(k, slots)
+            ahead = k + slots - 1
 
-            @pl.when(k + 1 < chunk)
+            @pl.when(ahead < chunk)
             def _():
-                dma(k + 1, nxt)
+                dma(ahead, jax.lax.rem(ahead, slots))
 
             wait(k, cur)
             p = patch_scratch[cur]                       # (patch, cpatch, C)
@@ -121,16 +131,17 @@ def roi_pool_patches(fmaps_padded: Tuple[jnp.ndarray, ...],
         jax.lax.fori_loop(0, chunk, body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((chunk, r, patch), lambda i, m: (i, 0, 0)),
-            pl.BlockSpec((chunk, r, cpatch), lambda i, m: (i, 0, 0)),
+            pl.BlockSpec((chunk, r, patch), lambda i, l, rr, cc: (i, 0, 0)),
+            pl.BlockSpec((chunk, r, cpatch), lambda i, l, rr, cc: (i, 0, 0)),
         ] + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_levels,
-        out_specs=pl.BlockSpec((chunk, r, r, c), lambda i, m: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((chunk, r, r, c),
+                               lambda i, l, rr, cc: (i, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, patch, cpatch, c), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((slots, patch, cpatch, c), dtype),
+            pltpu.SemaphoreType.DMA((slots,)),
         ],
     )
     return pl.pallas_call(
@@ -142,4 +153,4 @@ def roi_pool_patches(fmaps_padded: Tuple[jnp.ndarray, ...],
         # interpreter emulates the DMA/semaphore semantics, so the patch
         # copies + hat-matrix math get CI coverage without a chip.
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(meta, ay, ax, *fmaps_padded)
+    )(meta[:, 0], meta[:, 1], meta[:, 2], ay, ax, *fmaps_padded)

@@ -338,6 +338,12 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
         kpadded = tuple(jnp.pad(f, ((0, PATCH), (0, cpatch), (0, 0)))
                         for f in fmaps)
         chunk_k = 128 if resolution <= 8 else 32
+        if _os.environ.get("TD_ROI_CHUNK"):
+            chunk_k = int(_os.environ["TD_ROI_CHUNK"])
+        # DMA pipeline depth: the kernel is patch-latency bound; 4 in-flight
+        # copies (~5.5 MB VMEM incl. out block) hide most of it.  Env knob
+        # for per-hardware tuning.
+        slots_k = int(_os.environ.get("TD_ROI_SLOTS", "4"))
         pad_n = (-n) % chunk_k
         meta = jnp.stack([levels, oy, ox_al], axis=1).astype(jnp.int32)
         if pad_n:
@@ -349,7 +355,7 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
         out = _rk.roi_pool_patches(
             kpadded, meta, ay_p.astype(jnp.float32),
             ax_p.astype(jnp.float32), resolution, PATCH, chunk_k,
-            interpret=force_interpret)[:n]
+            interpret=force_interpret, slots=slots_k)[:n]
         m = min(FALLBACK_BUDGET, n)
         if m > 0:
             flag, idx = jax.lax.top_k(overflow_k.astype(jnp.float32), m)
@@ -404,3 +410,181 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     if return_overflow:
         return out, jnp.sum(overflow.astype(jnp.int32))
     return out
+
+
+def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
+                                 boxes: jnp.ndarray,
+                                 resolution: int, strides: Sequence[int],
+                                 sampling_ratio: int = 2,
+                                 pallas: Optional[bool] = None,
+                                 force_interpret: bool = False,
+                                 return_overflow: bool = False):
+    """Whole-batch multilevel ROIAlign: ``fmaps[l]`` (B, H_l, W_l, C),
+    ``boxes`` (B, N, 4) -> (B, N, R, R, C).
+
+    ONE Pallas kernel launch pools every image's boxes: each level's batch is
+    row-concatenated into a single (B*(H_l+PATCH), W_l+cpatch, C) buffer and
+    the patch origin row gets an ``img * (H_l+PATCH)`` base.  The per-call
+    kernel overhead (~2 ms prologue + prep) that a vmap of per-image calls
+    pays B times is paid once — measured 15.9 -> ~10 ms for 8x512 box pools
+    and 15.3 -> ~4 ms for 8x100 mask pools on v5e.
+
+    Identical math to :func:`multilevel_roi_align` (same hat matrices, same
+    fallback semantics with a batch-wide budget of ``B * FALLBACK_BUDGET``).
+    On CPU (no Pallas) falls back to a vmap of the exact gather path.
+    """
+    B, N = boxes.shape[0], boxes.shape[1]
+    L = len(fmaps)
+    C = fmaps[0].shape[-1]
+    dtype = fmaps[0].dtype
+
+    from treedetection_tpu.ops.pallas import roi_align_kernel as _rk
+    import os as _os
+    if pallas is None:
+        pallas = _rk.available() and \
+            _os.environ.get("TD_PALLAS_ROIALIGN", "1") != "0"
+    img_span = max(f.shape[1] * s for f, s in zip(fmaps, strides))
+    if not (pallas and (_rk.available() or force_interpret)) \
+            or img_span / strides[-1] > PATCH - 2:
+        def per_image(*args):
+            f_img = list(args[:L])
+            return multilevel_roi_align_gather(
+                f_img, args[L], resolution, strides, sampling_ratio)
+        out = jax.vmap(per_image)(*fmaps, boxes)
+        if return_overflow:
+            return out, jnp.zeros((B,), jnp.int32)
+        return out
+
+    flat_boxes = boxes.reshape(B * N, 4)
+    n = B * N
+    img = jnp.repeat(jnp.arange(B, dtype=jnp.int32), N)
+
+    hs = np.asarray([f.shape[1] for f in fmaps])
+    ws = np.asarray([f.shape[2] for f in fmaps])
+    cpatch = PATCH + 8
+
+    levels = assign_fpn_levels(flat_boxes, min_level=2, max_level=2 + L - 1)
+    scale = (1.0 / jnp.asarray(strides, dtype=flat_boxes.dtype))[levels]
+    h_l = jnp.asarray(hs)[levels]
+    w_l = jnp.asarray(ws)[levels]
+
+    sboxes = flat_boxes * scale[:, None]
+    x0 = sboxes[:, 0] - 0.5
+    y0 = sboxes[:, 1] - 0.5
+    bin_w = (sboxes[:, 2] - sboxes[:, 0]) / resolution
+    bin_h = (sboxes[:, 3] - sboxes[:, 1]) / resolution
+    oy = jnp.clip(jnp.floor(y0).astype(jnp.int32), 0, jnp.maximum(h_l - 1, 0))
+    ox = jnp.clip(jnp.floor(x0).astype(jnp.int32), 0, jnp.maximum(w_l - 1, 0))
+
+    s = (jnp.arange(sampling_ratio, dtype=flat_boxes.dtype) + 0.5) / sampling_ratio
+    offs = (jnp.arange(resolution, dtype=flat_boxes.dtype)[:, None]
+            + s[None, :]).reshape(-1)
+    sy_abs = y0[:, None] + offs[None, :] * bin_h[:, None]
+    sx_abs = x0[:, None] + offs[None, :] * bin_w[:, None]
+    hf = h_l.astype(flat_boxes.dtype)[:, None]
+    wf = w_l.astype(flat_boxes.dtype)[:, None]
+    valid_y = (sy_abs > -1.0) & (sy_abs < hf)
+    valid_x = (sx_abs > -1.0) & (sx_abs < wf)
+    sy = jnp.clip(sy_abs, 0.0, hf - 1.0) - oy.astype(flat_boxes.dtype)[:, None]
+    sx = jnp.clip(sx_abs, 0.0, wf - 1.0) - ox.astype(flat_boxes.dtype)[:, None]
+
+    ox_al = (ox // 8) * 8
+    sx_al = sx + (ox - ox_al).astype(flat_boxes.dtype)[:, None]
+    ay_f = (_hat_matrix(sy, PATCH) * valid_y[..., None]).reshape(
+        n, resolution, sampling_ratio, PATCH).mean(axis=2)
+    ax_f = (_hat_matrix(sx_al, cpatch) * valid_x[..., None]).reshape(
+        n, resolution, sampling_ratio, cpatch).mean(axis=2)
+    overflow = (jnp.max(sy, axis=1) > PATCH - 1) | \
+               (jnp.max(sx_al, axis=1) > cpatch - 1)
+
+    # row-concatenated per-level buffers: image b of level l starts at row
+    # b * (H_l + PATCH); the PATCH bottom padding keeps every patch slice
+    # inside its own image's section
+    kpadded = tuple(
+        jnp.pad(f, ((0, 0), (0, PATCH), (0, cpatch), (0, 0)))
+        .reshape(B * (f.shape[1] + PATCH), f.shape[2] + cpatch, C)
+        for f in fmaps)
+    row_base = img * (jnp.asarray(hs + PATCH, dtype=jnp.int32)[levels])
+    meta = jnp.stack([levels, row_base + oy, ox_al], axis=1).astype(jnp.int32)
+
+    chunk_k = 128 if resolution <= 8 else 32
+    if _os.environ.get("TD_ROI_CHUNK"):
+        chunk_k = int(_os.environ["TD_ROI_CHUNK"])
+    slots_k = int(_os.environ.get("TD_ROI_SLOTS", "4"))
+    pad_n = (-n) % chunk_k
+    ay_p, ax_p = ay_f, ax_f
+    if pad_n:
+        meta = jnp.pad(meta, ((0, pad_n), (0, 0)))
+        ay_p = jnp.pad(ay_f, ((0, pad_n), (0, 0), (0, 0)))
+        ax_p = jnp.pad(ax_f, ((0, pad_n), (0, 0), (0, 0)))
+    out = _rk.roi_pool_patches(
+        kpadded, meta, ay_p.astype(jnp.float32), ax_p.astype(jnp.float32),
+        resolution, PATCH, chunk_k, interpret=force_interpret,
+        slots=slots_k)[:n]
+
+    m = min(FALLBACK_BUDGET * B, n)
+    if m > 0:
+        flag, idx = jax.lax.top_k(overflow.astype(jnp.float32), m)
+        fb = _gather_batched_rows(kpadded, hs, ws, flat_boxes[idx],
+                                  levels[idx], img[idx], resolution,
+                                  strides, sampling_ratio)
+        take = (flag > 0)[:, None, None, None]
+        out = out.at[idx].set(jnp.where(take, fb.astype(out.dtype), out[idx]))
+
+    out = out.reshape(B, N, resolution, resolution, C)
+    if return_overflow:
+        per_img = jnp.sum(overflow.reshape(B, N).astype(jnp.int32), axis=1)
+        return out, per_img
+    return out
+
+
+def _gather_batched_rows(kpadded: Sequence[jnp.ndarray], hs, ws,
+                         boxes: jnp.ndarray, levels: jnp.ndarray,
+                         img: jnp.ndarray, resolution: int,
+                         strides: Sequence[int], sampling_ratio: int
+                         ) -> jnp.ndarray:
+    """Exact gather ROIAlign for M (box, level, image) triples against the
+    row-concatenated padded level buffers (the batched fallback path).
+
+    Same math as :func:`multilevel_roi_align_gather`; the flat row index
+    gains the per-image row base ``img * (H_l + PATCH)`` and per-level
+    padded width.
+    """
+    C = kpadded[0].shape[-1]
+    cpatch = PATCH + 8
+    flat = jnp.concatenate([k.reshape(-1, C) for k in kpadded], axis=0)
+    hps = np.asarray(hs) + PATCH
+    wps = np.asarray(ws) + cpatch
+    sizes = np.asarray([k.shape[0] * k.shape[1] for k in kpadded])
+    bases = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+
+    scales = 1.0 / jnp.asarray(strides, dtype=boxes.dtype)
+    ys, xs = _sample_grid(boxes, scales[levels], resolution, sampling_ratio)
+    h = jnp.asarray(hs)[levels][:, None, None, None, None]
+    w = jnp.asarray(ws)[levels][:, None, None, None, None]
+    hp = jnp.asarray(hps)[levels][:, None, None, None, None]
+    wp = jnp.asarray(wps)[levels][:, None, None, None, None]
+    base = jnp.asarray(bases)[levels][:, None, None, None, None] \
+        + (img[:, None, None, None, None] * hp) * wp
+    hf = h.astype(boxes.dtype)
+    wf = w.astype(boxes.dtype)
+    valid = (ys > -1.0) & (ys < hf) & (xs > -1.0) & (xs < wf)
+    y = jnp.clip(ys, 0.0, hf - 1.0)
+    x = jnp.clip(xs, 0.0, wf - 1.0)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    ly = (y - y0.astype(y.dtype))[..., None]
+    lx = (x - x0.astype(x.dtype))[..., None]
+
+    def rows(yy, xx):
+        idx = (base + yy * wp + xx).reshape(-1)
+        return flat[idx].reshape((*yy.shape, C))
+
+    out = (rows(y0, x0) * (1 - ly) * (1 - lx)
+           + rows(y0, x1) * (1 - ly) * lx
+           + rows(y1, x0) * ly * (1 - lx)
+           + rows(y1, x1) * ly * lx)
+    out = jnp.where(valid[..., None], out, 0.0)
+    return out.mean(axis=(3, 4))

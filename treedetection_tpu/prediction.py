@@ -158,6 +158,7 @@ class Predictor:
             rpn_post_nms_topk=spec.post_nms_topk,
             max_detections=spec.max_detections,
             bf16=spec.bf16 and jax.default_backend() != "cpu",
+            rpn_approx_topk_from=spec.rpn_approx_topk_from,
         )
         self.model = MaskRCNN(self.cfg)
         self.params = None
