@@ -356,7 +356,8 @@ class Predictor:
 
         n = len(items)
         bs = self.batch_size
-        pending: List[Tuple[List[Dict], Any, List[Tuple[int, int]]]] = []
+        from collections import deque as _deque
+        pending: Any = _deque()
         written = 0
         forward, box_scale = self._get_forward(pad)
         stats = {"tiles": float(n), "batches": 0.0, "compile_s": 0.0,
@@ -465,17 +466,21 @@ class Predictor:
                     stacked = np.stack(batch_arrays)
                     batch = stage(stacked) if stage else jnp.asarray(stacked)
                     device_out = run_batch(batch)
-                    # overlap: finalize previous batch while this one runs
-                    if pending:
-                        flush(*pending.pop())
                     pending.append((batch_items, device_out, sizes))
+                    # depth-2 pipeline: keep TWO batches in flight so the
+                    # fetch of batch k overlaps batch k+1's compute AND the
+                    # dispatch round-trip (on relay backends the RTT alone
+                    # is ~30 ms); flush (fetch+polygonize+write) runs while
+                    # the newest batch computes
+                    if len(pending) > 2:
+                        flush(*pending.popleft())
                     batch_items, batch_arrays, sizes = [], [], []
                     if self.logger and n >= 20 and done % max(1, n // 20) == 0:
                         self.logger.info(
                             f"Prediction progress {Path(tifpath).stem}: "
                             f"{done}/{n} tiles")
             while pending:
-                flush(*pending.pop())
+                flush(*pending.popleft())
         src.close()
         stats["wall_s"] = __import__("time").time() - t_start
         LAST_RUN_STATS.clear()
