@@ -424,6 +424,8 @@ class Predictor:
             from treedetection_tpu.ops.roi_align import report_overflow_host
             t0 = _time.time()
             out = jax.device_get(device_out)
+            t1 = _time.time()
+            stats["fetch_s"] = stats.get("fetch_s", 0.0) + (t1 - t0)
             for k, it in enumerate(batch_items):
                 report_overflow_host(out.roi_overflow[k],
                                      f" ({it['tile_id']})")
