@@ -430,3 +430,47 @@ class TestCheckpointLoadHostOnly:
 
         rec(out)
         assert leaves and all(type(a) is np.ndarray for a in leaves)
+
+
+class TestGridPairsEquivalence:
+    """Host uniform-grid sparse pairs == streamed device-kernel relation
+    (the device path stays the oracle behind TD_PAIRS_DEVICE=1)."""
+
+    def _random_bounds(self, rng, n):
+        x0 = rng.uniform(0, 900, n)
+        y0 = rng.uniform(0, 900, n)
+        w = rng.uniform(1, 30, n)
+        h = rng.uniform(1, 30, n)
+        return np.stack([x0, y0, x0 + w, y0 + h], axis=1)
+
+    def _canon(self, pi, pj):
+        return set(zip(pi.tolist(), pj.tolist()))
+
+    def test_dedupe_pairs_match_device(self, rng, monkeypatch):
+        from treedetection_tpu import postprocessing as pp
+        bounds = self._random_bounds(rng, 300)
+        areas = ((bounds[:, 2] - bounds[:, 0])
+                 * (bounds[:, 3] - bounds[:, 1]) * 0.8)
+        monkeypatch.delenv("TD_PAIRS_DEVICE", raising=False)
+        hi, hj = pp._sparse_relation_pairs("dedupe", bounds, 0.3,
+                                           areas=areas, area_threshold=0.5)
+        monkeypatch.setenv("TD_PAIRS_DEVICE", "1")
+        di, dj = pp._sparse_relation_pairs("dedupe", bounds, 0.3,
+                                           areas=areas, area_threshold=0.5)
+        assert self._canon(hi, hj) == self._canon(di, dj)
+        assert len(di) > 0  # non-vacuous
+
+    def test_containment_pairs_match_device(self, rng, monkeypatch):
+        from treedetection_tpu import postprocessing as pp
+        bounds = self._random_bounds(rng, 200)
+        # add boxes fully containing others
+        inner = bounds[:40].copy()
+        inner[:, 0] += 2; inner[:, 1] += 2
+        inner[:, 2] -= 2; inner[:, 3] -= 2
+        allb = np.concatenate([bounds, np.maximum(inner, 0)])
+        monkeypatch.delenv("TD_PAIRS_DEVICE", raising=False)
+        hi, hj = pp._sparse_relation_pairs("containment", allb, 0.9)
+        monkeypatch.setenv("TD_PAIRS_DEVICE", "1")
+        di, dj = pp._sparse_relation_pairs("containment", allb, 0.9)
+        assert self._canon(hi, hj) == self._canon(di, dj)
+        assert len(di) > 0

@@ -70,18 +70,123 @@ def _bucket(n: int, base: int = _SHAPE_BUCKET) -> int:
     return max(-(-n // base) * base, base)
 
 
+def _grid_candidate_pairs(bounds: np.ndarray, cell: float
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Unordered candidate pairs (i < j) of boxes that share a uniform grid
+    cell — the axis-aligned-crown replacement for an R-tree (SURVEY §2.3).
+
+    Boxes are inserted into every cell they overlap; within a cell all pairs
+    are candidates.  Crowns are bounded at ~35 m span (AREA_UPPER_BOUND), so
+    per-box cell counts stay small and the pair set is ~linear in N.
+    """
+    n = len(bounds)
+    if n < 2:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    gx0 = np.floor(bounds[:, 0] / cell).astype(np.int64)
+    gy0 = np.floor(bounds[:, 1] / cell).astype(np.int64)
+    gx1 = np.floor(bounds[:, 2] / cell).astype(np.int64)
+    gy1 = np.floor(bounds[:, 3] / cell).astype(np.int64)
+    nx = gx1 - gx0 + 1
+    ny = gy1 - gy0 + 1
+    stride = int(gy1.max() - gy0.min() + 2)
+    base_y = gy0.min()
+    cells_list = []
+    idx_list = []
+    for dx in range(int(nx.max())):
+        for dy in range(int(ny.max())):
+            sel = np.where((dx < nx) & (dy < ny))[0]
+            if not len(sel):
+                continue
+            cells_list.append((gx0[sel] + dx) * stride
+                              + (gy0[sel] + dy - base_y))
+            idx_list.append(sel)
+    cells = np.concatenate(cells_list)
+    idx = np.concatenate(idx_list)
+    order = np.argsort(cells, kind="stable")
+    cells, idx = cells[order], idx[order]
+    # group boundaries
+    starts = np.flatnonzero(np.r_[True, cells[1:] != cells[:-1]])
+    ends = np.r_[starts[1:], len(cells)]
+    out_i = []
+    out_j = []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        members = idx[s:e]
+        ii = np.repeat(members, m)
+        jj = np.tile(members, m)
+        keep = ii < jj
+        out_i.append(ii[keep])
+        out_j.append(jj[keep])
+    if not out_i:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    pi = np.concatenate(out_i)
+    pj = np.concatenate(out_j)
+    # dedupe pairs seen in multiple shared cells
+    key = pi * n + pj
+    _, first = np.unique(key, return_index=True)
+    return pi[first], pj[first]
+
+
 def _sparse_relation_pairs(kind: str, bounds: np.ndarray, threshold: float,
                            areas: Optional[np.ndarray] = None,
                            area_threshold: float = 0.3,
                            block: int = PAIRWISE_BLOCK
                            ) -> Tuple[np.ndarray, np.ndarray]:
-    """Stream the (N, N) pairwise relation in row blocks through the tiled
-    device kernels (Pallas on TPU, jnp broadcast on CPU) and return the True
-    entries as sparse (i, j) index arrays, diagonal excluded.
+    """Sparse (i, j) index arrays of the pairwise relation, diagonal excluded.
 
-    Shapes are padded to ``_SHAPE_BUCKET`` multiples so the compiled kernels
-    are reused across files (padding boxes are empty -> all-False relations).
+    Default path: uniform-grid candidate generation on host + vectorized
+    numpy criterion on the ~linear candidate set.  For N ~ 20k crowns this
+    beats the N^2 device matrix by an order of magnitude once the
+    device->host link is part of the cost.  ``TD_PAIRS_DEVICE=1`` forces the
+    streamed device-kernel path (Pallas on TPU, jnp on CPU), which remains
+    the oracle in tests and the right choice for extreme densities.
     """
+    n = len(bounds)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    if os.environ.get("TD_PAIRS_DEVICE") != "1":
+        bounds = np.asarray(bounds, dtype=np.float64)
+        # cell ~ median box size: small enough to keep groups tight, large
+        # enough that typical boxes span few cells
+        sizes = np.maximum(bounds[:, 2] - bounds[:, 0],
+                           bounds[:, 3] - bounds[:, 1])
+        cell = float(max(np.median(sizes) * 2.0, 1e-6))
+        pi, pj = _grid_candidate_pairs(bounds, cell)
+        if not len(pi):
+            return pi, pj
+        bi, bj = bounds[pi], bounds[pj]
+        ix0 = np.maximum(bi[:, 0], bj[:, 0])
+        iy0 = np.maximum(bi[:, 1], bj[:, 1])
+        ix1 = np.minimum(bi[:, 2], bj[:, 2])
+        iy1 = np.minimum(bi[:, 3], bj[:, 3])
+        inter = np.maximum(ix1 - ix0, 0) * np.maximum(iy1 - iy0, 0)
+        area_i = np.maximum(bi[:, 2] - bi[:, 0], 0) * \
+            np.maximum(bi[:, 3] - bi[:, 1], 0)
+        area_j = np.maximum(bj[:, 2] - bj[:, 0], 0) * \
+            np.maximum(bj[:, 3] - bj[:, 1], 0)
+        if kind == "dedupe":
+            union = area_i + area_j - inter
+            iou = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+            rel = iou > threshold
+            if areas is not None:
+                pa_i = np.asarray(areas, np.float64)[pi]
+                pa_j = np.asarray(areas, np.float64)[pj]
+                denom = np.maximum(np.maximum(pa_i, pa_j), 1e-12)
+                rel &= (np.abs(pa_i - pa_j) / denom) < area_threshold
+            sym_i = np.concatenate([pi[rel], pj[rel]])
+            sym_j = np.concatenate([pj[rel], pi[rel]])
+            return sym_i, sym_j
+        # containment: (i contains j) = inter / area_j >= threshold,
+        # evaluated in BOTH directions
+        c_ij = np.where(area_j > 0, inter / np.maximum(area_j, 1e-12), 0.0) \
+            >= threshold
+        c_ji = np.where(area_i > 0, inter / np.maximum(area_i, 1e-12), 0.0) \
+            >= threshold
+        out_i = np.concatenate([pi[c_ij], pj[c_ji]])
+        out_j = np.concatenate([pj[c_ij], pi[c_ji]])
+        return out_i, out_j
     from treedetection_tpu.ops.pallas import (
         pairwise_containment_mask, pairwise_dedupe_mask)
     n = len(bounds)
