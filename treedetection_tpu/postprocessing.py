@@ -32,8 +32,7 @@ import jax.numpy as jnp
 
 from treedetection_tpu.geo import Affine, GeoTiff
 from treedetection_tpu.ops.boxes import box_iou_matrix, pairwise_intersection_over_area
-from treedetection_tpu.ops.stats import (
-    polygon_areas_batch, polygon_centroids_batch, polygon_raster_stats_batch)
+from treedetection_tpu.ops.stats import polygon_raster_stats_batch
 from treedetection_tpu.recoveries import (
     load_postprocess_recovery_data, postprocess_params,
     save_postprocess_recovery_data)
@@ -232,6 +231,32 @@ def _pack_bits_rows(m: jnp.ndarray) -> jnp.ndarray:
     w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.uint8)
     return jnp.sum(m.reshape(r, nn // 8, 8).astype(jnp.uint8) * w, axis=-1,
                    dtype=jnp.uint8)
+
+
+def _areas_centroids_host(coords: np.ndarray
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Shoelace areas + NaN-aware vertex centroids of NaN-padded rings
+    (N, P, 2) — the host twin of ``ops.stats.polygon_areas_batch`` /
+    ``polygon_centroids_batch`` (callers pad with at least one NaN row)."""
+    c = coords.astype(np.float64)
+    n, p = c.shape[0], c.shape[1]
+    finite = np.isfinite(c[:, :, 0])
+    lengths = finite.sum(axis=1)
+    idx = np.clip(lengths, 0, p - 1)
+    closed = c.copy()
+    closed[np.arange(n), idx] = c[:, 0, :]
+    x, y = closed[..., 0], closed[..., 1]
+    xn = np.roll(x, -1, axis=1)
+    yn = np.roll(y, -1, axis=1)
+    term = x * yn - xn * y
+    term = np.where(np.isfinite(term), term, 0.0)
+    areas = np.abs(term.sum(axis=1)) / 2.0
+    import warnings as _warnings
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", RuntimeWarning)
+        centroids = np.stack([np.nanmean(c[..., 0], axis=1),
+                              np.nanmean(c[..., 1], axis=1)], axis=-1)
+    return areas.astype(np.float32), centroids
 
 
 def _greedy_group_keep(pairs_i: np.ndarray, pairs_j: np.ndarray,
@@ -444,13 +469,12 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
     nb = _bucket(n_all)
     ps = PolygonSet.from_list(local, max_points=max_pts, dtype=np.float32)
     coords = ps.coords
-    coords_b = np.full((nb, max_pts, 2), np.nan, dtype=np.float32)
-    coords_b[:n_all] = coords
-    polys_j = jnp.asarray(coords_b)
-    areas = np.asarray(polygon_areas_batch(polys_j))[:n_all]
+    # areas/centroids are trivial FLOP on ~20k rings: host numpy beats a
+    # device round trip whose cost is the coords upload (same math as
+    # ops.stats.polygon_areas_batch / polygon_centroids_batch)
+    areas, centroids = _areas_centroids_host(coords)
+    centroids = centroids + offset[None, :]
     bounds = ps.bounds()
-    centroids = np.asarray(polygon_centroids_batch(polys_j))[:n_all] \
-        + offset[None, :]
     _t = _phase("areas_centroids", _t)
 
     area_lo = float(config.get("area_threshold", 1))
