@@ -112,3 +112,39 @@ class TestResizeThreshold:
         assert out.dtype == np.uint8
         assert set(np.unique(out)) <= {0, 1}
         assert out[28, 28] == 1 and out[2, 2] == 0
+
+
+@needs_native
+class TestSimplifyDP:
+    def test_bit_identical_to_numpy(self):
+        """Native DP keep-set must equal the numpy stack DP exactly
+        (the stitching hot loop routes through the native path)."""
+        from treedetection_tpu import native
+        from treedetection_tpu.vector import polygon as P
+        rng = np.random.default_rng(7)
+        for _ in range(60):
+            n = int(rng.integers(3, 300))
+            th = np.sort(rng.uniform(0, 2 * np.pi, n))
+            r = rng.uniform(3, 12, n)
+            ring = np.stack([500000 + r * np.cos(th),
+                             5400000 + r * np.sin(th)], 1)
+            tol = float(rng.choice([0.0, 0.05, 0.2, 2.0]))
+            got = P.simplify_polygon(ring, tol)
+            orig = native.simplify_keep_flags
+            native.simplify_keep_flags = lambda *a, **k: None
+            try:
+                want = P.simplify_polygon(ring, tol)
+            finally:
+                native.simplify_keep_flags = orig
+            assert got.shape == want.shape and np.array_equal(got, want)
+
+    def test_degenerate_rings(self):
+        from treedetection_tpu.vector.polygon import simplify_polygon
+        # collinear, tiny, duplicate-point rings must not crash or drop below
+        # a valid closed ring
+        sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=np.float64)
+        out = simplify_polygon(sq, 0.5)
+        assert np.array_equal(out[0], out[-1]) and len(out) >= 4
+        line = np.array([[0, 0], [5, 0], [10, 0]], dtype=np.float64)
+        out = simplify_polygon(line, 0.5)
+        assert np.array_equal(out[0], out[-1])

@@ -77,6 +77,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_float]
+        lib.td_simplify_dp.restype = ctypes.c_int
+        lib.td_simplify_dp.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_uint8)]
         _lib = lib
         return _lib
 
@@ -132,6 +136,27 @@ def resize_threshold_mask(mask: np.ndarray, out_h: int, out_w: int,
     from treedetection_tpu.prediction import _resize_mask_np
     m = _resize_mask_np(mask.astype(np.float32), out_h, out_w)
     return (m > thresh).astype(np.uint8)
+
+
+def simplify_keep_flags(ring: np.ndarray, tolerance: float
+                        ) -> Optional[np.ndarray]:
+    """Native Douglas-Peucker keep flags for an OPEN (N, 2) float64 ring.
+
+    Bit-identical keep set to the numpy stack DP in
+    ``vector.polygon.simplify_polygon`` (the stitching host hot loop —
+    reference ``helpers.py:463-464``).  None when the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "td_simplify_dp"):
+        return None
+    ring = np.ascontiguousarray(ring, dtype=np.float64)
+    n = len(ring)
+    keep = np.empty(n, dtype=np.uint8)
+    lib.td_simplify_dp(
+        ring.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+        ctypes.c_double(tolerance * tolerance),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return keep.view(bool)
 
 
 def _trace_contours_cv2(mask: np.ndarray) -> List[np.ndarray]:

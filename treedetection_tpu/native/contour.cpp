@@ -200,6 +200,83 @@ int td_trace_contours(const uint8_t* mask, int h, int w,
   return n_contours;
 }
 
+// --- Douglas-Peucker ring simplification -----------------------------------
+//
+// Exact native twin of vector/polygon.py:simplify_polygon (shapely
+// ``simplify`` semantics, reference helpers.py:463-464): anchor the ring at
+// vertex 0 and its farthest vertex, then stack-DP both chains with
+// clamped point-to-segment distance.  All arithmetic in double, same
+// operation order and first-max tie-breaking as the numpy version, so the
+// keep set is bit-identical.
+//
+//   int td_simplify_dp(const double* xy, int n, double tol2, uint8_t* keep);
+//
+// xy: open ring, n points, interleaved x,y.  Writes keep flags (0/1) for all
+// n vertices.  Returns the number kept, or n when pivot==0 (caller keeps the
+// ring unchanged, matching the Python early return).
+
+int td_simplify_dp(const double* xy, int n, double tol2, uint8_t* keep) {
+  if (n < 4) {
+    for (int i = 0; i < n; ++i) keep[i] = 1;
+    return n;
+  }
+  // farthest vertex from vertex 0 (first max wins, like np.argmax)
+  const double x0 = xy[0], y0 = xy[1];
+  int pivot = 0;
+  double best = 0.0;
+  for (int i = 0; i < n; ++i) {
+    const double dx = xy[2 * i] - x0, dy = xy[2 * i + 1] - y0;
+    const double d2 = dx * dx + dy * dy;
+    if (d2 > best) { best = d2; pivot = i; }
+  }
+  if (pivot == 0) {
+    for (int i = 0; i < n; ++i) keep[i] = 1;
+    return n;
+  }
+  std::memset(keep, 0, (size_t)n);
+  keep[0] = keep[pivot] = 1;
+
+  // index n wraps to vertex 0 (the Python version appends c[0] to pts)
+  auto px = [&](int i) { return i == n ? xy[0] : xy[2 * i]; };
+  auto py = [&](int i) { return i == n ? xy[1] : xy[2 * i + 1]; };
+
+  std::vector<std::pair<int, int>> stack;
+  stack.reserve(64);
+  stack.emplace_back(0, pivot);
+  stack.emplace_back(pivot, n);
+  int kept = 2;
+  while (!stack.empty()) {
+    const int i = stack.back().first, j = stack.back().second;
+    stack.pop_back();
+    if (j - i < 2) continue;
+    const double ax = px(i), ay = py(i);
+    const double abx = px(j) - ax, aby = py(j) - ay;
+    const double denom = abx * abx + aby * aby;
+    int kmax = -1;
+    double dmax = -1.0;
+    for (int m = i + 1; m < j; ++m) {
+      const double rx = px(m) - ax, ry = py(m) - ay;
+      double d2;
+      if (denom < 1e-18) {
+        d2 = rx * rx + ry * ry;
+      } else {
+        double t = (rx * abx + ry * aby) / denom;
+        if (t < 0.0) t = 0.0;
+        if (t > 1.0) t = 1.0;
+        const double dx = rx - t * abx, dy = ry - t * aby;
+        d2 = dx * dx + dy * dy;
+      }
+      if (d2 > dmax) { dmax = d2; kmax = m; }
+    }
+    if (kmax >= 0 && dmax > tol2) {
+      if (!keep[kmax % n]) { keep[kmax % n] = 1; ++kept; }
+      stack.emplace_back(i, kmax);
+      stack.emplace_back(kmax, j);
+    }
+  }
+  return kept;
+}
+
 // --- TIFF LZW decoder (MSB-first, early change) ---------------------------
 
 int td_lzw_decode(const uint8_t* src, long src_len, uint8_t* dst,

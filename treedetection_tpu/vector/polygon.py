@@ -100,6 +100,15 @@ def simplify_polygon(coords: Coords, tolerance: float) -> Coords:
     n = len(c)
     if n < 4 or tolerance <= 0:
         return ensure_closed(c)
+    from treedetection_tpu import native
+    flags = native.simplify_keep_flags(c, tolerance)
+    if flags is not None:
+        if flags.all():
+            return ensure_closed(c)
+        out = c[flags]
+        if len(out) < 3:
+            return ensure_closed(c)
+        return ensure_closed(out)
     # Anchor the ring at index 0 and its farthest vertex so DP sees two chains.
     d2 = ((c - c[0]) ** 2).sum(axis=1)
     pivot = int(np.argmax(d2))
