@@ -464,8 +464,12 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
     n_all = len(crowns)
     # bucket BOTH device dims (polygon count, ring points) so the jitted
     # area/centroid/stat programs compile once and serve every file of a
-    # county run instead of recompiling per (N, P) shape
-    max_pts = _bucket(max(len(c) for c in crowns) + 1, 16)
+    # county run instead of recompiling per (N, P) shape.  The ring-point
+    # bucket is coarse (128): with a 16-point bucket a single long crown
+    # flips the program shape between runs/files, and each fresh shape costs
+    # a multi-second compile through the device tunnel (measured: warm call
+    # 0.2 s, fresh-shape compile 3-10 s).
+    max_pts = _bucket(max(len(c) for c in crowns) + 1, 128)
     nb = _bucket(n_all)
     ps = PolygonSet.from_list(local, max_points=max_pts, dtype=np.float32)
     coords = ps.coords
@@ -502,26 +506,41 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
 
     sub = np.where(keep)[0]
     if len(sub) and (height_raster is not None or ndvi_raster is not None):
+        import time as _time
         sb = _bucket(len(sub))
         sub_coords = np.full((sb, max_pts, 2), np.nan, dtype=np.float32)
         sub_coords[:len(sub)] = coords[sub]
+        _tu = _time.time()
         sub_j = jnp.asarray(sub_coords)
-        if height_raster is not None:
+        hr_j = (jnp.asarray(height_raster, dtype=jnp.float32)
+                if height_raster is not None else None)
+        nr_j = (jnp.asarray(ndvi_raster, dtype=jnp.float32)
+                if ndvi_raster is not None else None)
+        if hr_j is not None:
+            jax.block_until_ready(hr_j)
+        _phase("stats_upload", _tu)
+        if hr_j is not None:
+            _tc = _time.time()
             st = polygon_raster_stats_batch(
-                sub_j, jnp.asarray(height_raster, dtype=jnp.float32),
+                sub_j, hr_j,
                 jnp.asarray(list(_local_affine(height_affine)),
                             dtype=jnp.float32),
                 compat_circle=compat_circle)
-            heights[sub] = np.asarray(st.max)[:len(sub)]
+            mx = np.asarray(st.max)
+            _phase("stats_height_call", _tc)
+            heights[sub] = mx[:len(sub)]
             argmax_xy[sub] = np.asarray(st.argmax_xy)[:len(sub)] \
                 + offset[None, :]
-        if ndvi_raster is not None:
+        if nr_j is not None:
+            _tc = _time.time()
             st = polygon_raster_stats_batch(
-                sub_j, jnp.asarray(ndvi_raster, dtype=jnp.float32),
+                sub_j, nr_j,
                 jnp.asarray(list(_local_affine(ndvi_affine)),
                             dtype=jnp.float32),
                 compat_circle=compat_circle)
-            mean_ndvi[sub] = np.asarray(st.mean)[:len(sub)]
+            mn = np.asarray(st.mean)
+            _phase("stats_ndvi_call", _tc)
+            mean_ndvi[sub] = mn[:len(sub)]
             var_ndvi[sub] = np.asarray(st.var)[:len(sub)]
     _t = _phase("raster_stats", _t)
 
