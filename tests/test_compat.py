@@ -95,3 +95,35 @@ class TestStitchingRLEFallback:
                                      "segmentation": rle_encode(mask)}]))
         crowns, scores = stitching.stitch_tile_file(str(pred), 0.2, shift=1)
         assert len(crowns) == 1 and scores == [0.9]
+
+
+class TestStitchCrowns:
+    def test_filters_and_concats(self, tmp_path):
+        """Legacy detectree2-style stitcher (reference helpers.py:321-408):
+        crowns outside the shrunk tile box are dropped, survivors simplified
+        and concatenated with the filename CRS."""
+        import numpy as np
+        from treedetection_tpu.compat import stitch_crowns
+        from treedetection_tpu.vector import write_gpkg
+
+        def square(cx, cy, r=2.0, n=16):
+            th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+            return np.stack([cx + r * np.cos(th), cy + r * np.sin(th)], 1)
+
+        # tile box: minx=100, miny=200, width=50, buffer=20, epsg=25832
+        # -> box (80, 180)..(170, 270); shift=1 -> (81, 181)..(169, 269)
+        f = tmp_path / "img_100_200_50_20_25832.gpkg"
+        inside = square(120, 220)
+        edge = square(82, 182, r=2.0)   # dips below the shifted box
+        write_gpkg(str(f), [inside, edge],
+                   [{"Confidence_score": 0.9}, {"Confidence_score": 0.8}],
+                   srs_id=25832)
+        geoms, props, srs = stitch_crowns(str(tmp_path), shift=1.0)
+        assert srs == 25832
+        assert len(geoms) == 1 and props[0]["Confidence_score"] == 0.9
+
+    def test_empty_folder_raises(self, tmp_path):
+        import pytest as _pytest
+        from treedetection_tpu.compat import stitch_crowns
+        with _pytest.raises(FileNotFoundError):
+            stitch_crowns(str(tmp_path))

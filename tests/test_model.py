@@ -7,7 +7,8 @@ import jax
 import jax.numpy as jnp
 
 from treedetection_tpu.models import MaskRCNN, MaskRCNNConfig
-from treedetection_tpu.models.anchors import base_anchors, grid_anchors, pyramid_anchors
+from treedetection_tpu.models.anchors import (
+    base_anchors, grid_anchors, pyramid_anchors, pyramid_anchors_jnp)
 from treedetection_tpu.models.mask_rcnn import create_model
 
 
@@ -40,6 +41,13 @@ class TestAnchors:
         levels = pyramid_anchors(128)
         # strides 4..64 -> 32^2, 16^2, 8^2, 4^2, 2^2 cells x 3 anchors
         assert [a.shape[0] for a in levels] == [3072, 768, 192, 48, 12]
+
+    def test_jnp_anchors_bit_identical(self):
+        """The on-device iota generator must equal the numpy reference
+        exactly (it feeds the RPN decode inside the jitted forward)."""
+        import numpy as np
+        for a, b in zip(pyramid_anchors(256), pyramid_anchors_jnp(256)):
+            assert np.array_equal(a, np.asarray(b))
 
 
 class TestMaskRCNN:

@@ -175,3 +175,51 @@ def project_to_geojson(tile_prediction_files: Sequence[str],
         write_geojson(out, geoms, props, crs_epsg=meta.get("crs"))
         outputs.append(out)
     return outputs
+
+
+def stitch_crowns(folder: str, shift: float = 1.0,
+                  simplify_tolerance: float = 0.2, logger=None
+                  ) -> Tuple[List[np.ndarray], List[Dict[str, Any]], int]:
+    """detectree2-style stitcher over per-tile GPKG files (reference
+    ``helpers.py:321-408``; dead code on the reference's own
+    ``process_files`` path but part of its public surface).
+
+    Reads every ``*.gpkg`` in ``folder`` (files named with the tile-id
+    schema), keeps crowns fully within the tile box shrunk inward by
+    ``shift`` meters, simplifies rings, and concatenates.  Returns
+    ``(geoms, props, srs_id)`` with the CRS parsed from the first filename —
+    the first-party equivalent of the reference's GeoDataFrame return.
+    """
+    import glob as _glob
+    from treedetection_tpu.stitching import filename_geoinfo, shrunk_tile_box
+    from treedetection_tpu.vector import read_gpkg, simplify_polygon
+    from treedetection_tpu.vector.polygon import ensure_open
+
+    files = sorted(_glob.glob(os.path.join(folder, "*.gpkg")))
+    if not files:
+        raise FileNotFoundError(f"No gpkg files found in folder {folder}.")
+    srs_id = filename_geoinfo(files[0])[4]
+    all_geoms: List[np.ndarray] = []
+    all_props: List[Dict[str, Any]] = []
+    for f in files:
+        try:
+            geoms, props, _ = read_gpkg(f)
+            bminx, bminy, bmaxx, bmaxy = shrunk_tile_box(f, shift)
+            for g, p in zip(geoms, props):
+                if not g or not g[0]:
+                    continue
+                r = ensure_open(np.asarray(g[0][0], dtype=np.float64))
+                if not (r[:, 0].min() >= bminx and r[:, 0].max() <= bmaxx
+                        and r[:, 1].min() >= bminy
+                        and r[:, 1].max() <= bmaxy):
+                    continue
+                if simplify_tolerance > 0:
+                    r = simplify_polygon(r, simplify_tolerance)
+                all_geoms.append(r)
+                all_props.append(dict(p))
+        except Exception as exc:  # keep-batch-alive, like the reference
+            if logger:
+                logger.warning(f"An error occurred while processing {f}: {exc}")
+    if not all_geoms:
+        raise RuntimeError("No valid crowns were processed.")
+    return all_geoms, all_props, srs_id

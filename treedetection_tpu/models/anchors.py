@@ -46,3 +46,37 @@ def pyramid_anchors(input_size: int,
         fh = fw = int(math.ceil(input_size / stride))
         out.append(grid_anchors(fh, fw, stride, size, ratios))
     return out
+
+
+def grid_anchors_jnp(feat_h: int, feat_w: int, stride: int, size: float,
+                     ratios: Sequence[float]) -> jnp.ndarray:
+    """On-device twin of :func:`grid_anchors` built from ``jnp.arange``
+    (lowers to iota).
+
+    Embedding the precomputed grids as jit constants put ~130 MB of literals
+    into the traced module (P2 alone is 196k x 4 f32 at 1024^2 input), which
+    made every serialized executable ~20 MB and persistent-cache loads/
+    compiles tunnel-transfer-bound.  Generated from iota the executable
+    carries only the (A, 4) base table.  Bit-identical to the numpy version
+    (same f32 ops, same order)."""
+    base = jnp.asarray(base_anchors(size, ratios))                  # (A, 4)
+    shifts_x = jnp.arange(feat_w, dtype=jnp.float32) * float(stride)
+    shifts_y = jnp.arange(feat_h, dtype=jnp.float32) * float(stride)
+    sx = jnp.broadcast_to(shifts_x[None, :], (feat_h, feat_w))
+    sy = jnp.broadcast_to(shifts_y[:, None], (feat_h, feat_w))
+    shifts = jnp.stack([sx, sy, sx, sy], axis=-1)                   # (H, W, 4)
+    anchors = shifts[:, :, None, :] + base[None, None, :, :]
+    return anchors.reshape(-1, 4)
+
+
+def pyramid_anchors_jnp(input_size: int,
+                        strides: Sequence[int] = (4, 8, 16, 32, 64),
+                        sizes: Sequence[float] = (32, 64, 128, 256, 512),
+                        ratios: Sequence[float] = (0.5, 1.0, 2.0)
+                        ) -> List[jnp.ndarray]:
+    """On-device anchors for every FPN level (see :func:`grid_anchors_jnp`)."""
+    out = []
+    for stride, size in zip(strides, sizes):
+        fh = fw = int(math.ceil(input_size / stride))
+        out.append(grid_anchors_jnp(fh, fw, stride, size, ratios))
+    return out

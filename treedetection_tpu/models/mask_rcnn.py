@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from treedetection_tpu.models.anchors import pyramid_anchors
+from treedetection_tpu.models.anchors import pyramid_anchors_jnp
 from treedetection_tpu.models.resnet import ResNetFPN
 from treedetection_tpu.models.rpn import RPNHead, generate_proposals
 from treedetection_tpu.models.roi_heads import (
@@ -83,8 +83,10 @@ class MaskRCNN(nn.Module):
                                 name="box_head")
         self.mask_head = MaskHead(num_classes=c.num_classes, dtype=c.dtype,
                                   name="mask_head")
-        self._anchors = [jnp.asarray(a) for a in
-                         pyramid_anchors(c.input_size, FPN_STRIDES)]
+        # anchors generated on-device from iota at trace time — NOT
+        # precomputed constants (which embedded ~130 MB of literals into
+        # every executable; see anchors.grid_anchors_jnp)
+        self._anchors = pyramid_anchors_jnp(c.input_size, FPN_STRIDES)
 
     def __call__(self, images: jnp.ndarray) -> ModelOutput:
         c = self.cfg

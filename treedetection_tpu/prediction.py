@@ -318,7 +318,7 @@ class Predictor:
         self._warm_pads = getattr(self, "_warm_pads", set())
         self._warm_pads.add(pad)
         if self.logger:
-            self.logger.debug(
+            self.logger.info(
                 f"Warmup compile for pad {pad} took {_time.time() - t0:.1f}s")
 
     # -- tile loading --------------------------------------------------------
@@ -379,6 +379,10 @@ class Predictor:
                     dt = _time.time() - t0
                     if stats["batches"] == 0:
                         stats["compile_s"] = dt  # first dispatch traces+compiles
+                        if self.logger and dt > 2.0:
+                            self.logger.info(
+                                f"First dispatch took {dt:.1f}s (warm pads: "
+                                f"{getattr(self, '_warm_pads', set())})")
                     else:
                         stats["dispatch_s"] += dt
                     stats["batches"] += 1

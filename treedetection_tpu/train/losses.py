@@ -222,6 +222,8 @@ def _apply_mask_head(self, pooled):
 
 
 def _anchors_for(cfg):
-    from treedetection_tpu.models.anchors import pyramid_anchors
+    # iota-generated on device (not embedded constants) — keeps the train
+    # step's serialized executable small, same as the inference forward
+    from treedetection_tpu.models.anchors import pyramid_anchors_jnp
     from treedetection_tpu.models.mask_rcnn import FPN_STRIDES
-    return pyramid_anchors(cfg.input_size, FPN_STRIDES)
+    return pyramid_anchors_jnp(cfg.input_size, FPN_STRIDES)
