@@ -395,3 +395,71 @@ class TestPredictorCache:
             t.join()
         assert len(built) == 1
         assert results[0] is results[1] is built[0]
+
+
+@pytest.mark.slow
+class TestTrainedCheckpointEndToEnd:
+    """process_files with the shipped trained checkpoint produces crowns.
+
+    The synthetic-random-weights e2e above asserts structure only (random
+    weights detect nothing meaningful); this test loads the committed
+    example checkpoint (R50, trained at 90 m content -> 1024 px, i.e.
+    0.088 m per model pixel) on a crown-dense 24 m crop of the bundled
+    sample at the SAME effective scale (22 m content -> 256 px) and asserts
+    the processed GPKG contains real detections with tree properties.
+    """
+
+    def test_processed_crowns_nonempty(self, tmp_path):
+        repo = Path(__file__).resolve().parents[1]
+        ckpt = repo / "example" / "data" / "model_full.npz"
+        rgb_src = repo / "example" / "data" / "rgb" / "324125317.tif"
+        nds_src = repo / "example" / "data" / "nDSM" / "324125317.tif"
+        if not (ckpt.exists() and rgb_src.exists() and nds_src.exists()):
+            pytest.skip("example checkpoint/sample data not present")
+
+        from treedetection_tpu.geo import GeoTiff
+
+        # densest 24 m window of the example run's stitched crowns
+        x0, y0, W = 412896.0, 5317288.0, 24.0
+        arr_rgb, t_rgb = GeoTiff(str(rgb_src)).read_bounds(x0, y0, x0 + W, y0 + W)
+        arr_nds, t_nds = GeoTiff(str(nds_src)).read_bounds(x0, y0, x0 + W, y0 + W)
+        (tmp_path / "rgb").mkdir()
+        (tmp_path / "nDSM").mkdir()
+        write_geotiff(str(tmp_path / "rgb" / "324125317.tif"),
+                      arr_rgb.astype(np.uint8), t_rgb, crs=25832)
+        write_geotiff(str(tmp_path / "nDSM" / "324125317.tif"),
+                      arr_nds.astype(np.float32)[..., 0], t_nds,
+                      crs=25832, nodata=-9999.0)
+
+        cfg_yaml = {
+            "image_directory": "rgb", "height_data_path": "nDSM",
+            "combined_model": str(ckpt),
+            "output_directory": "out", "tiles_path": "tiles",
+            "tile_width": 12, "tile_height": 12, "buffer": 5,
+            "batch_size": 4, "use_overlap": False,
+            "model_depth": 50, "model_input_size": 256,
+            "max_detections": 100, "mixed_precision": False,
+            "pixel_std": [57.375, 57.12, 58.395],
+            "confidence_threshold": 0.4, "containment_threshold": 0.75,
+            "height_threshold": 3, "ndvi_mean_threshold": 0.0,
+            "ndvi_var_threshold": 0.1,
+            "iou_threshold": 0.5, "confidence_threshold_stitching": 0.3,
+            "area_threshold": 1, "keep_intermediate": True, "parallel": False,
+        }
+        cfg_path = tmp_path / "config.yml"
+        cfg_path.write_text(yaml.safe_dump(cfg_yaml))
+
+        from treedetection_tpu.config import get_config, Config
+        from treedetection_tpu.detection import process_files
+        Config.reset()
+        config, _ = get_config(str(cfg_path))
+        outputs = process_files(config)
+
+        assert len(outputs) == 1 and os.path.exists(outputs[0])
+        geoms, props, srs = read_gpkg(outputs[0])
+        assert srs == 25832
+        assert len(geoms) > 0, "trained checkpoint produced no crowns"
+        for p in props:
+            assert p["Confidence_score"] >= 0.4
+            assert p["TreeHeight"] > 3.0       # height gate applied
+            assert p["Area"] >= 1.0            # area gate applied
