@@ -77,6 +77,7 @@ class TestLosses:
                               "cls", "box_reg", "mask"}
         assert all(np.isfinite(float(v)) for v in parts.values())
 
+    @pytest.mark.slow
     def test_loss_decreases_on_steps(self, model_params):
         model, params = model_params
         tc = TrainConfig.from_preset("update")
@@ -110,6 +111,7 @@ class TestLosses:
         assert np.array_equal(stem_before, stem_after)      # frozen
         assert not np.array_equal(head_before, head_after)  # trained
 
+    @pytest.mark.slow
     def test_sharded_step_on_mesh(self, model_params):
         from jax.sharding import Mesh
         model, params = model_params
@@ -149,6 +151,7 @@ class TestPresets:
 
 
 class TestTrainingIntegration:
+    @pytest.mark.slow
     def test_full_training_loop_with_data_pipeline(self, tmp_path):
         """tiles -> shards -> train_model for a few iterations with eval."""
         from treedetection_tpu.geo import Affine, write_geotiff
@@ -180,6 +183,7 @@ class TestTrainingIntegration:
         assert len(history["total_loss"]) == 3
         assert all(np.isfinite(v) for v in history["total_loss"])
 
+    @pytest.mark.slow
     def test_remat_backbone_trains(self):
         """remat=True must produce identical losses (checkpointing is
         numerics-neutral) while saving activation memory."""

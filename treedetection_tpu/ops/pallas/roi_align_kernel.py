@@ -136,7 +136,7 @@ def roi_pool_patches(fmaps_padded: Tuple[jnp.ndarray, ...],
         in_specs=[
             pl.BlockSpec((chunk, r, patch), lambda i, l, rr, cc: (i, 0, 0)),
             pl.BlockSpec((chunk, r, cpatch), lambda i, l, rr, cc: (i, 0, 0)),
-        ] + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_levels,
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * n_levels,
         out_specs=pl.BlockSpec((chunk, r, r, c),
                                lambda i, l, rr, cc: (i, 0, 0, 0)),
         scratch_shapes=[
