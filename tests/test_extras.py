@@ -474,3 +474,30 @@ class TestGridPairsEquivalence:
         di, dj = pp._sparse_relation_pairs("containment", allb, 0.9)
         assert self._canon(hi, hj) == self._canon(di, dj)
         assert len(di) > 0
+
+
+class TestRegionGrowLabels:
+    def test_generate_from_ndsm(self, tmp_path):
+        """Cross-generator autolabels: region-grow labels from an nDSM with
+        two synthetic tree mounds produce georeferenced crowns."""
+        from treedetection_tpu.autolabel import generate_region_grow_labels
+        from treedetection_tpu.geo import Affine, write_geotiff
+        from treedetection_tpu.vector import read_gpkg
+
+        h, w = 64, 64
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        ndsm = np.zeros((h, w), np.float32)
+        for cy, cx in ((20, 20), (44, 42)):
+            ndsm += 8.0 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 30.0)
+        t = Affine.from_origin(412000.0, 5318000.0, 1.0, 1.0)
+        src = tmp_path / "ndsm.tif"
+        write_geotiff(str(src), ndsm, t, crs=25832, nodata=-9999.0)
+
+        out = tmp_path / "labels.gpkg"
+        n = generate_region_grow_labels(str(src), str(out))
+        assert n >= 2
+        geoms, props, srs = read_gpkg(str(out))
+        assert srs == 25832 and len(geoms) == n
+        ring = np.asarray(geoms[0][0][0])
+        assert 412000.0 <= ring[:, 0].min() <= 412064.0
+        assert props[0]["TreeHeight"] > 3.0

@@ -14,6 +14,6 @@
 from treedetection_tpu.autolabel.voronoi import generate_voronoi_labels  # noqa: F401
 from treedetection_tpu.autolabel.boxes import autolabel_image, clean_crowns  # noqa: F401
 from treedetection_tpu.autolabel.sam import (  # noqa: F401
-    SamMaskGenerator, region_grow_mask_generator)
+    SamMaskGenerator, generate_region_grow_labels, region_grow_mask_generator)
 from treedetection_tpu.autolabel.cambridge import (  # noqa: F401
     autolabel_and_evaluate, process_directory as autolabel_directory)

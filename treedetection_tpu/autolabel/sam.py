@@ -123,3 +123,76 @@ def _component_at(mask: np.ndarray, seed) -> Optional[np.ndarray]:
         frontier = grow & mask & ~comp
         comp |= frontier
     return comp
+
+
+def generate_region_grow_labels(height_path: str, out_gpkg: str,
+                                min_seed_height: float = 3.0,
+                                sigma: float = 0.5, window: int = 7,
+                                box_radius_cap: float = 8.0,
+                                min_mask_pixels: int = 4,
+                                logger=None) -> int:
+    """nDSM GeoTIFF -> crown GPKG via box-prompted region growth.
+
+    An INDEPENDENT label generator next to ``voronoi.generate_voronoi_labels``
+    (used as the cross-generator quality check): the same local-maxima seeds,
+    but each crown mask comes from :func:`region_grow_mask_generator` on a
+    per-seed window (box side = distance to the nearest other seed, capped),
+    traced to a polygon.  Masks are grown bbox-locally so memory stays
+    bounded on county-scale rasters.
+    """
+    import jax.numpy as jnp
+
+    from treedetection_tpu.autolabel.voronoi import find_crown_seeds
+    from treedetection_tpu.geo import GeoTiff
+    from treedetection_tpu.native import trace_contours
+    from treedetection_tpu.vector import write_gpkg
+    from treedetection_tpu.vector.polygon import polygon_area
+
+    g = GeoTiff(height_path)
+    height = g.read()[:, :, 0].astype(np.float32)
+    if g.nodata is not None:
+        height = np.where(height == g.nodata, 0.0, height)
+    transform = g.transform
+    crs = g.crs or 25832
+    g.close()
+
+    smooth, seeds = find_crown_seeds(jnp.asarray(height), sigma, window,
+                                     min_seed_height)
+    seed_rc = np.argwhere(np.asarray(seeds))
+    if len(seed_rc) == 0:
+        write_gpkg(out_gpkg, [], [], srs_id=crs)
+        return 0
+
+    from scipy.spatial import cKDTree
+    tree = cKDTree(seed_rc)
+    # box half-side per seed: half the gap to the nearest other seed (px)
+    d, _ = tree.query(seed_rc, k=min(2, len(seed_rc)))
+    radii = (np.clip(d[:, 1] / 2.0, 1.0, box_radius_cap)
+             if d.ndim == 2 else np.full(len(seed_rc), box_radius_cap))
+
+    h, w = height.shape
+    crowns, props = [], []
+    for (sr, sc), r in zip(seed_rc, radii):
+        ir = int(np.ceil(r))
+        y0, y1 = max(sr - ir, 0), min(sr + ir + 1, h)
+        x0, x1 = max(sc - ir, 0), min(sc + ir + 1, w)
+        if y1 - y0 < 3 or x1 - x0 < 3:
+            continue
+        sub = height[y0:y1, x0:x1]
+        local_box = np.array([[0.0, 0.0, float(x1 - x0), float(y1 - y0)]])
+        mask = region_grow_mask_generator(sub, local_box)[0]
+        if mask.sum() < min_mask_pixels:
+            continue
+        rings = trace_contours(mask.astype(np.uint8), include_holes=False)
+        if not rings:
+            continue
+        ring = max(rings, key=lambda q: abs(polygon_area(q.astype(np.float64))))
+        pts = ring.astype(np.float64)
+        gx, gy = transform.apply(pts[:, 0] + x0 + 0.5, pts[:, 1] + y0 + 0.5)
+        crowns.append(np.stack([gx, gy], axis=1))
+        props.append({"Confidence_score": 1.0,
+                      "TreeHeight": float(smooth[sr, sc])})
+    write_gpkg(out_gpkg, crowns, props, srs_id=crs)
+    if logger:
+        logger.info(f"region-grow autolabels: {len(crowns)} crowns -> {out_gpkg}")
+    return len(crowns)
