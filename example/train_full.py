@@ -88,7 +88,12 @@ def main() -> int:
         with open(os.path.join(HERE, "data", "holdout.json"), "w") as fh:
             json.dump({"held_out_bounds": exclude_bounds,
                        "holdout_frac": args.holdout_frac}, fh)
-        shards_dir = os.path.join(HERE, "data", "full_shards_holdout")
+        # shard dir is keyed by the holdout fraction: a rerun with a
+        # different --holdout-frac must NOT silently reuse shards built with
+        # the old exclusion (holdout.json would record bounds the training
+        # set actually overlaps, inflating the held-out eval)
+        shards_dir = os.path.join(
+            HERE, "data", f"full_shards_holdout_{args.holdout_frac:g}")
         log.info(f"[2/4] spatial holdout: excluding x >= {cutoff:.0f} "
                  f"({args.holdout_frac:.0%} of the sample) from training")
     existing = sorted(glob.glob(os.path.join(shards_dir, "train_*.npz")))

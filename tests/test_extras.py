@@ -393,6 +393,11 @@ class TestInputSizeGuard:
         with _pytest.raises(ValueError, match="repro_512_crash"):
             _validate_model_input_size(
                 {"device": "tpu", "model_input_size": 512})
+        # the real chip reports platform "axon", never the literal "tpu" —
+        # the guard must fire for ANY accelerator platform
+        with _pytest.raises(ValueError, match="repro_512_crash"):
+            _validate_model_input_size(
+                {"device": "axon", "model_input_size": 512})
 
     def test_cpu_and_good_sizes_pass(self, monkeypatch):
         from treedetection_tpu.config import _validate_model_input_size

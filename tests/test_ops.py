@@ -307,6 +307,22 @@ class TestPatchROIAlign:
         assert OVERFLOW_STATS["events"] == 1
         assert OVERFLOW_STATS["boxes_beyond_budget"] == 8
 
+    def test_batched_budget_no_false_warning(self):
+        """The batched pooler re-pools up to FALLBACK_BUDGET * B batch-wide:
+        one image with > FALLBACK_BUDGET overflows in a batch whose TOTAL is
+        within the batch budget was pooled exactly — no warning; totals
+        beyond the batch budget warn by the batch-wide excess."""
+        from treedetection_tpu.ops.roi_align import (
+            FALLBACK_BUDGET, OVERFLOW_STATS, report_overflow_host)
+        B = 8
+        OVERFLOW_STATS.update(events=0, boxes_beyond_budget=0)
+        report_overflow_host(FALLBACK_BUDGET + 4, budget=FALLBACK_BUDGET * B)
+        assert OVERFLOW_STATS["events"] == 0
+        report_overflow_host(FALLBACK_BUDGET * B + 3,
+                             budget=FALLBACK_BUDGET * B)
+        assert OVERFLOW_STATS["events"] == 1
+        assert OVERFLOW_STATS["boxes_beyond_budget"] == 3
+
     def test_no_overflow_no_warning(self):
         from treedetection_tpu.ops.roi_align import (
             OVERFLOW_STATS, multilevel_roi_align, report_overflow_host)
@@ -341,6 +357,22 @@ class TestPatchROIAlign:
             multilevel_roi_align, multilevel_roi_align_gather)
         fmaps = self._fmaps(seed=13)
         boxes = self._boxes(n=40, seed=14)
+        fast = np.asarray(multilevel_roi_align(
+            fmaps, boxes, 7, (4, 8, 16, 32), pallas=True,
+            force_interpret=True))
+        ref = np.asarray(multilevel_roi_align_gather(fmaps, boxes, 7,
+                                                     (4, 8, 16, 32)))
+        assert np.allclose(fast, ref, atol=2e-5), np.abs(fast - ref).max()
+
+    def test_pallas_kernel_interpret_slots1(self, monkeypatch):
+        """TD_ROI_SLOTS=1 (serial DMA pipeline): the prologue must issue no
+        copy — a prologue copy double-issues box 0 and leaks a semaphore
+        increment, so every later wait returns one copy early."""
+        from treedetection_tpu.ops.roi_align import (
+            multilevel_roi_align, multilevel_roi_align_gather)
+        monkeypatch.setenv("TD_ROI_SLOTS", "1")
+        fmaps = self._fmaps(seed=21)
+        boxes = self._boxes(n=24, seed=22)
         fast = np.asarray(multilevel_roi_align(
             fmaps, boxes, 7, (4, 8, 16, 32), pallas=True,
             force_interpret=True))

@@ -215,7 +215,10 @@ KNOWN_BAD_TPU_INPUT_SIZES = frozenset({512})
 
 def _validate_model_input_size(config: Dict[str, Any]) -> None:
     size = int(config.get("model_input_size", 1024))
-    if (config.get("device") == "tpu"
+    # any accelerator platform counts: on the target machine the TPU chip
+    # reports platform "axon", never the literal "tpu"
+    device = str(config.get("device") or "")
+    if (device not in ("", "cpu")
             and size in KNOWN_BAD_TPU_INPUT_SIZES
             and os.environ.get("TD_ALLOW_UNSAFE_INPUT_SIZE") != "1"):
         raise ValueError(

@@ -324,6 +324,12 @@ def process_files(config: Dict[str, Any]) -> List[str]:
     _multihost_barrier("preprocess_done", logger)
     t1 = time.time()
     predict_tiles(config)
+    # the async warmup compile must be finished (or consumed) before the
+    # postprocess stage issues its own jit compiles — two concurrent remote
+    # compiles wedge single-tenant backends
+    wt = config.get("_warmup_thread")
+    if wt is not None:
+        wt.join()
     _multihost_barrier("predict_done", logger)
     t2 = time.time()
     outputs = postprocess_files(config)

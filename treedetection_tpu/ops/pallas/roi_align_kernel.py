@@ -101,8 +101,12 @@ def roi_pool_patches(fmaps_padded: Tuple[jnp.ndarray, ...],
 
         # S-deep DMA pipeline: slots-1 copies in flight hide the per-patch
         # HBM latency (the kernel is latency-, not bandwidth-, bound: each
-        # patch is ~1 MB but issued one box at a time)
-        for w in range(min(slots - 1, chunk) or 1):
+        # patch is ~1 MB but issued one box at a time).  With slots=1 the
+        # prologue issues NOTHING: the body's ahead = k+slots-1 = k already
+        # issues box k's copy right before waiting on it (serial pipeline);
+        # a prologue copy would double-issue box 0 and leak a semaphore
+        # increment, letting later waits return before their copy lands.
+        for w in range(min(slots - 1, chunk)):
             dma(w, w % slots)
 
         def body(k, _):

@@ -204,25 +204,112 @@ _logger = logging.getLogger("treedetection_tpu")
 OVERFLOW_STATS = {"events": 0, "boxes_beyond_budget": 0}
 
 
-def report_overflow_host(n_over: int, context: str = "") -> None:
+def report_overflow_host(n_over: int, context: str = "",
+                         budget: int = FALLBACK_BUDGET) -> None:
     """HOST-side check of a fetched overflow count (``ModelOutput.
     roi_overflow``): warn + tally when more boxes outspanned the patch than
     the fallback budget could re-pool exactly.
+
+    ``budget`` must match the pooling call that produced the count: the
+    single-image pooler re-pools up to ``FALLBACK_BUDGET`` per call, the
+    batched pooler up to ``FALLBACK_BUDGET * B`` batch-wide — so batched
+    counts must be summed over the batch and checked against the batch-wide
+    budget, never per image.
 
     Deliberately not an in-program ``jax.debug.callback``: host callbacks make
     the XLA executable unserializable, which would silently disable the
     persistent compilation cache for the whole model program.
     """
     n_over = int(n_over)
-    if n_over <= FALLBACK_BUDGET:
+    if n_over <= budget:
         return
     OVERFLOW_STATS["events"] += 1
-    OVERFLOW_STATS["boxes_beyond_budget"] += n_over - FALLBACK_BUDGET
+    OVERFLOW_STATS["boxes_beyond_budget"] += n_over - budget
     _logger.warning(
         f"ROIAlign patch overflow{context}: {n_over} boxes outspan the "
-        f"{PATCH}px patch but only {FALLBACK_BUDGET} get exact gather "
-        f"re-pooling; {n_over - FALLBACK_BUDGET} keep truncated pooling "
+        f"{PATCH}px patch but only {budget} get exact gather "
+        f"re-pooling; {n_over - budget} keep truncated pooling "
         f"(elongated boxes, bounded error on overhanging bins)")
+
+
+def _patch_pool_prep(flat_boxes: jnp.ndarray, hs, ws,
+                     strides: Sequence[int], resolution: int,
+                     sampling_ratio: int, L: int):
+    """Shared per-box patch-pooling geometry for the single-image and
+    whole-batch poolers (identical math by construction): FPN level
+    assignment, clamped patch origins, and patch-relative sample coords with
+    ROIAlign edge semantics (samples strictly outside (-1, H) masked, border
+    half-open bands clamped to the edge pixel).
+
+    -> (levels, oy, ox, sy, sx, valid_y, valid_x)
+    """
+    levels = assign_fpn_levels(flat_boxes, min_level=2, max_level=2 + L - 1)
+    scale = (1.0 / jnp.asarray(strides, dtype=flat_boxes.dtype))[levels]
+    h_l = jnp.asarray(hs)[levels]
+    w_l = jnp.asarray(ws)[levels]
+
+    sboxes = flat_boxes * scale[:, None]
+    x0 = sboxes[:, 0] - 0.5
+    y0 = sboxes[:, 1] - 0.5
+    bin_w = (sboxes[:, 2] - sboxes[:, 0]) / resolution
+    bin_h = (sboxes[:, 3] - sboxes[:, 1]) / resolution
+    # patch origin: clamp into the valid (padded) slice range
+    oy = jnp.clip(jnp.floor(y0).astype(jnp.int32), 0, jnp.maximum(h_l - 1, 0))
+    ox = jnp.clip(jnp.floor(x0).astype(jnp.int32), 0, jnp.maximum(w_l - 1, 0))
+
+    # sample coords relative to the patch origin, (N, R*S)
+    s = (jnp.arange(sampling_ratio, dtype=flat_boxes.dtype) + 0.5) \
+        / sampling_ratio
+    offs = (jnp.arange(resolution, dtype=flat_boxes.dtype)[:, None]
+            + s[None, :]).reshape(-1)                      # (R*S,)
+    sy_abs = y0[:, None] + offs[None, :] * bin_h[:, None]
+    sx_abs = x0[:, None] + offs[None, :] * bin_w[:, None]
+    hf = h_l.astype(flat_boxes.dtype)[:, None]
+    wf = w_l.astype(flat_boxes.dtype)[:, None]
+    valid_y = (sy_abs > -1.0) & (sy_abs < hf)
+    valid_x = (sx_abs > -1.0) & (sx_abs < wf)
+    sy = jnp.clip(sy_abs, 0.0, hf - 1.0) - oy.astype(flat_boxes.dtype)[:, None]
+    sx = jnp.clip(sx_abs, 0.0, wf - 1.0) - ox.astype(flat_boxes.dtype)[:, None]
+    return levels, oy, ox, sy, sx, valid_y, valid_x
+
+
+def _fold_hats(sy: jnp.ndarray, sx: jnp.ndarray, valid_y: jnp.ndarray,
+               valid_x: jnp.ndarray, resolution: int, sampling_ratio: int,
+               width_x: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold the S-sample bin average into (N, R, PATCH) / (N, R, width_x)
+    hat matrices."""
+    n = sy.shape[0]
+    ay_f = (_hat_matrix(sy, PATCH) * valid_y[..., None]).reshape(
+        n, resolution, sampling_ratio, PATCH).mean(axis=2)
+    ax_f = (_hat_matrix(sx, width_x) * valid_x[..., None]).reshape(
+        n, resolution, sampling_ratio, width_x).mean(axis=2)
+    return ay_f, ax_f
+
+
+def _launch_patch_kernel(kpadded, meta: jnp.ndarray, ay_f: jnp.ndarray,
+                         ax_f: jnp.ndarray, resolution: int,
+                         force_interpret: bool) -> jnp.ndarray:
+    """Pad to a chunk multiple and launch the Pallas patch-DMA kernel
+    (chunk size / DMA pipeline depth env-tunable)."""
+    from treedetection_tpu.ops.pallas import roi_align_kernel as _rk
+    import os as _os
+    n = meta.shape[0]
+    chunk_k = 128 if resolution <= 8 else 32
+    if _os.environ.get("TD_ROI_CHUNK"):
+        chunk_k = int(_os.environ["TD_ROI_CHUNK"])
+    # DMA pipeline depth: the kernel is patch-latency bound; 4 in-flight
+    # copies (~5.5 MB VMEM incl. out block) hide most of it.
+    slots_k = int(_os.environ.get("TD_ROI_SLOTS", "4"))
+    pad_n = (-n) % chunk_k
+    ay_p, ax_p = ay_f, ax_f
+    if pad_n:
+        meta = jnp.pad(meta, ((0, pad_n), (0, 0)))
+        ay_p = jnp.pad(ay_f, ((0, pad_n), (0, 0), (0, 0)))
+        ax_p = jnp.pad(ax_f, ((0, pad_n), (0, 0), (0, 0)))
+    return _rk.roi_pool_patches(
+        kpadded, meta, ay_p.astype(jnp.float32), ax_p.astype(jnp.float32),
+        resolution, PATCH, chunk_k, interpret=force_interpret,
+        slots=slots_k)[:n]
 
 
 def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
@@ -272,47 +359,17 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     sizes = (hs + PATCH) * wps
     bases = np.concatenate([[0], np.cumsum(sizes)[:-1]])
 
-    levels = assign_fpn_levels(boxes, min_level=2, max_level=2 + L - 1)
-    scale = (1.0 / jnp.asarray(strides, dtype=boxes.dtype))[levels]
-    h_l = jnp.asarray(hs)[levels]
-    w_l = jnp.asarray(ws)[levels]
+    levels, oy, ox, sy, sx, valid_y, valid_x = _patch_pool_prep(
+        boxes, hs, ws, strides, resolution, sampling_ratio, L)
     wp_l = jnp.asarray(wps)[levels]
     base_l = jnp.asarray(bases)[levels]
 
-    sboxes = boxes * scale[:, None]
-    x0 = sboxes[:, 0] - 0.5
-    y0 = sboxes[:, 1] - 0.5
-    bin_w = (sboxes[:, 2] - sboxes[:, 0]) / resolution
-    bin_h = (sboxes[:, 3] - sboxes[:, 1]) / resolution
-    # patch origin: clamp into the valid (padded) slice range
-    oy = jnp.clip(jnp.floor(y0).astype(jnp.int32), 0, jnp.maximum(h_l - 1, 0))
-    ox = jnp.clip(jnp.floor(x0).astype(jnp.int32), 0, jnp.maximum(w_l - 1, 0))
-
-    # sample coords relative to the patch origin, (N, R*S)
-    s = (jnp.arange(sampling_ratio, dtype=boxes.dtype) + 0.5) / sampling_ratio
-    offs = (jnp.arange(resolution, dtype=boxes.dtype)[:, None]
-            + s[None, :]).reshape(-1)                      # (R*S,)
-    sy_abs = y0[:, None] + offs[None, :] * bin_h[:, None]
-    sx_abs = x0[:, None] + offs[None, :] * bin_w[:, None]
-    # ROIAlign edge semantics (detectron2 CUDA kernel): samples strictly
-    # outside (-1, H) contribute zero; samples in the border half-open bands
-    # CLAMP to the edge pixel with full weight.  Clamp in absolute level
-    # coords, mask the invalid band, then shift to patch-relative.
-    hf = h_l.astype(boxes.dtype)[:, None]
-    wf = w_l.astype(boxes.dtype)[:, None]
-    valid_y = (sy_abs > -1.0) & (sy_abs < hf)
-    valid_x = (sx_abs > -1.0) & (sx_abs < wf)
-    sy = jnp.clip(sy_abs, 0.0, hf - 1.0) - oy.astype(boxes.dtype)[:, None]
-    sx = jnp.clip(sx_abs, 0.0, wf - 1.0) - ox.astype(boxes.dtype)[:, None]
     # out-of-span detection: a sample at patch-relative coord > PATCH-1 needs
     # a row the patch doesn't hold (the hat weight would truncate it)
     overflow = (jnp.max(sy, axis=1) > PATCH - 1) | \
                (jnp.max(sx, axis=1) > PATCH - 1)
-    # fold the S-sample average into the hat matrices: (N, R, PATCH)
-    ay_f = (_hat_matrix(sy, PATCH) * valid_y[..., None]).reshape(
-        n, resolution, sampling_ratio, PATCH).mean(axis=2)
-    ax_f = (_hat_matrix(sx, PATCH) * valid_x[..., None]).reshape(
-        n, resolution, sampling_ratio, PATCH).mean(axis=2)
+    ay_f, ax_f = _fold_hats(sy, sx, valid_y, valid_x, resolution,
+                            sampling_ratio, PATCH)
     ay = ay_f.astype(dtype)
     ax = ax_f.astype(dtype)
 
@@ -331,31 +388,15 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
         cpatch = PATCH + 8
         ox_al = (ox // 8) * 8
         sx_al = sx + (ox - ox_al).astype(boxes.dtype)[:, None]
-        ax_k = (_hat_matrix(sx_al, cpatch) * valid_x[..., None]).reshape(
-            n, resolution, sampling_ratio, cpatch).mean(axis=2)
+        _, ax_k = _fold_hats(sy, sx_al, valid_y, valid_x, resolution,
+                             sampling_ratio, cpatch)
         overflow_k = (jnp.max(sy, axis=1) > PATCH - 1) | \
                      (jnp.max(sx_al, axis=1) > cpatch - 1)
         kpadded = tuple(jnp.pad(f, ((0, PATCH), (0, cpatch), (0, 0)))
                         for f in fmaps)
-        chunk_k = 128 if resolution <= 8 else 32
-        if _os.environ.get("TD_ROI_CHUNK"):
-            chunk_k = int(_os.environ["TD_ROI_CHUNK"])
-        # DMA pipeline depth: the kernel is patch-latency bound; 4 in-flight
-        # copies (~5.5 MB VMEM incl. out block) hide most of it.  Env knob
-        # for per-hardware tuning.
-        slots_k = int(_os.environ.get("TD_ROI_SLOTS", "4"))
-        pad_n = (-n) % chunk_k
         meta = jnp.stack([levels, oy, ox_al], axis=1).astype(jnp.int32)
-        if pad_n:
-            meta = jnp.pad(meta, ((0, pad_n), (0, 0)))
-            ay_p = jnp.pad(ay_f, ((0, pad_n), (0, 0), (0, 0)))
-            ax_p = jnp.pad(ax_k, ((0, pad_n), (0, 0), (0, 0)))
-        else:
-            ay_p, ax_p = ay_f, ax_k
-        out = _rk.roi_pool_patches(
-            kpadded, meta, ay_p.astype(jnp.float32),
-            ax_p.astype(jnp.float32), resolution, PATCH, chunk_k,
-            interpret=force_interpret, slots=slots_k)[:n]
+        out = _launch_patch_kernel(kpadded, meta, ay_f, ax_k, resolution,
+                                   force_interpret)
         m = min(FALLBACK_BUDGET, n)
         if m > 0:
             flag, idx = jax.lax.top_k(overflow_k.astype(jnp.float32), m)
@@ -463,37 +504,13 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
     ws = np.asarray([f.shape[2] for f in fmaps])
     cpatch = PATCH + 8
 
-    levels = assign_fpn_levels(flat_boxes, min_level=2, max_level=2 + L - 1)
-    scale = (1.0 / jnp.asarray(strides, dtype=flat_boxes.dtype))[levels]
-    h_l = jnp.asarray(hs)[levels]
-    w_l = jnp.asarray(ws)[levels]
-
-    sboxes = flat_boxes * scale[:, None]
-    x0 = sboxes[:, 0] - 0.5
-    y0 = sboxes[:, 1] - 0.5
-    bin_w = (sboxes[:, 2] - sboxes[:, 0]) / resolution
-    bin_h = (sboxes[:, 3] - sboxes[:, 1]) / resolution
-    oy = jnp.clip(jnp.floor(y0).astype(jnp.int32), 0, jnp.maximum(h_l - 1, 0))
-    ox = jnp.clip(jnp.floor(x0).astype(jnp.int32), 0, jnp.maximum(w_l - 1, 0))
-
-    s = (jnp.arange(sampling_ratio, dtype=flat_boxes.dtype) + 0.5) / sampling_ratio
-    offs = (jnp.arange(resolution, dtype=flat_boxes.dtype)[:, None]
-            + s[None, :]).reshape(-1)
-    sy_abs = y0[:, None] + offs[None, :] * bin_h[:, None]
-    sx_abs = x0[:, None] + offs[None, :] * bin_w[:, None]
-    hf = h_l.astype(flat_boxes.dtype)[:, None]
-    wf = w_l.astype(flat_boxes.dtype)[:, None]
-    valid_y = (sy_abs > -1.0) & (sy_abs < hf)
-    valid_x = (sx_abs > -1.0) & (sx_abs < wf)
-    sy = jnp.clip(sy_abs, 0.0, hf - 1.0) - oy.astype(flat_boxes.dtype)[:, None]
-    sx = jnp.clip(sx_abs, 0.0, wf - 1.0) - ox.astype(flat_boxes.dtype)[:, None]
+    levels, oy, ox, sy, sx, valid_y, valid_x = _patch_pool_prep(
+        flat_boxes, hs, ws, strides, resolution, sampling_ratio, L)
 
     ox_al = (ox // 8) * 8
     sx_al = sx + (ox - ox_al).astype(flat_boxes.dtype)[:, None]
-    ay_f = (_hat_matrix(sy, PATCH) * valid_y[..., None]).reshape(
-        n, resolution, sampling_ratio, PATCH).mean(axis=2)
-    ax_f = (_hat_matrix(sx_al, cpatch) * valid_x[..., None]).reshape(
-        n, resolution, sampling_ratio, cpatch).mean(axis=2)
+    ay_f, ax_f = _fold_hats(sy, sx_al, valid_y, valid_x, resolution,
+                            sampling_ratio, cpatch)
     overflow = (jnp.max(sy, axis=1) > PATCH - 1) | \
                (jnp.max(sx_al, axis=1) > cpatch - 1)
 
@@ -506,21 +523,8 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
         for f in fmaps)
     row_base = img * (jnp.asarray(hs + PATCH, dtype=jnp.int32)[levels])
     meta = jnp.stack([levels, row_base + oy, ox_al], axis=1).astype(jnp.int32)
-
-    chunk_k = 128 if resolution <= 8 else 32
-    if _os.environ.get("TD_ROI_CHUNK"):
-        chunk_k = int(_os.environ["TD_ROI_CHUNK"])
-    slots_k = int(_os.environ.get("TD_ROI_SLOTS", "4"))
-    pad_n = (-n) % chunk_k
-    ay_p, ax_p = ay_f, ax_f
-    if pad_n:
-        meta = jnp.pad(meta, ((0, pad_n), (0, 0)))
-        ay_p = jnp.pad(ay_f, ((0, pad_n), (0, 0), (0, 0)))
-        ax_p = jnp.pad(ax_f, ((0, pad_n), (0, 0), (0, 0)))
-    out = _rk.roi_pool_patches(
-        kpadded, meta, ay_p.astype(jnp.float32), ax_p.astype(jnp.float32),
-        resolution, PATCH, chunk_k, interpret=force_interpret,
-        slots=slots_k)[:n]
+    out = _launch_patch_kernel(kpadded, meta, ay_f, ax_f, resolution,
+                               force_interpret)
 
     m = min(FALLBACK_BUDGET * B, n)
     if m > 0:

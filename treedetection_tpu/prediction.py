@@ -100,6 +100,24 @@ def start_compile_warmup(config: Dict[str, Any]) -> Optional[Any]:
         return None
     logger = config.get("logger")
 
+    # Fully-recovered runs never construct a forward, so nothing would join
+    # the thread and the (useless) model compile would overlap the
+    # postprocess stage's own jit compiles — the two-concurrent-compiles
+    # hazard on single-tenant backends.  Skip warmup when the prediction
+    # manifest already covers every image.
+    try:
+        from treedetection_tpu import recoveries
+        pred_root = os.path.join(config["output_directory"], "predictions")
+        done = set(recoveries.load_prediction_recovery_data(
+            pred_root, model_path))
+        if done and all(os.path.basename(p) in done or p in done
+                        for p in images):
+            if logger:
+                logger.debug("Compile warmup skipped: predictions recovered")
+            return None
+    except Exception:
+        pass  # manifest unreadable -> warm up as usual
+
     def run():
         try:
             pad = expected_pad(images[0], config)
@@ -425,14 +443,20 @@ class Predictor:
         def flush(batch_items, device_out, sizes):
             nonlocal written
             import time as _time
-            from treedetection_tpu.ops.roi_align import report_overflow_host
+            from treedetection_tpu.ops.roi_align import (
+                FALLBACK_BUDGET, report_overflow_host)
             t0 = _time.time()
             out = jax.device_get(device_out)
             t1 = _time.time()
             stats["fetch_s"] = stats.get("fetch_s", 0.0) + (t1 - t0)
+            # the batched pooler's exact-gather budget is batch-wide
+            # (FALLBACK_BUDGET * B): truncation is a property of the batch
+            # total, not of any single image's count
+            B = int(out.roi_overflow.shape[0])
+            report_overflow_host(int(out.roi_overflow.sum()),
+                                 f" (batch of {batch_items[0]['tile_id']})",
+                                 budget=FALLBACK_BUDGET * B)
             for k, it in enumerate(batch_items):
-                report_overflow_host(out.roi_overflow[k],
-                                     f" ({it['tile_id']})")
                 self._write_tile_predictions(
                     it, out.boxes[k], out.scores[k], out.masks[k],
                     out.valid[k], sizes[k], box_scale, tifpath, output_dir)
