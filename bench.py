@@ -91,7 +91,48 @@ def bench_pipeline() -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _ensure_live_backend(timeout_s: int = 300) -> None:
+    """Probe the accelerator backend in a SUBPROCESS with a hard timeout.
+
+    The axon TPU tunnel has outages during which backend init hangs
+    indefinitely (no CPU use, no error) — a bare ``jax.devices()`` here would
+    hang the whole benchmark run.  If the probe cannot initialize within
+    ``timeout_s``, re-exec on CPU (axon site hook stripped) so the run still
+    emits its JSON line.  Set TD_BENCH_REQUIRE_TPU=1 to fail instead.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("_TD_BENCH_CPU_FALLBACK"):
+        return
+    timeout_s = int(os.environ.get("TD_BENCH_PROBE_TIMEOUT", timeout_s))
+    env = dict(os.environ)
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            env=env, timeout=timeout_s, capture_output=True, text=True)
+        if out.returncode == 0 and out.stdout.strip():
+            return  # backend initializes fine
+        reason = (out.stderr or "").strip().splitlines()[-1:] or ["?"]
+        reason = reason[0]
+    except subprocess.TimeoutExpired:
+        reason = f"backend init hung > {timeout_s}s (tunnel outage)"
+    if os.environ.get("TD_BENCH_REQUIRE_TPU") == "1":
+        print(f"bench: accelerator unavailable: {reason}", file=sys.stderr)
+        raise SystemExit(2)
+    print(f"bench: accelerator unavailable ({reason}); falling back to CPU",
+          file=sys.stderr)
+    env["_TD_BENCH_CPU_FALLBACK"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon_site" not in p)
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
 def main() -> int:
+    _ensure_live_backend()
     import jax
     import jax.numpy as jnp
     from treedetection_tpu.utils.xla_cache import setup_compilation_cache
