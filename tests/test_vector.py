@@ -229,3 +229,55 @@ class TestExactPolygonIoU:
         matches, up, ug = greedy_iou_match([a], [b], iou_threshold=0.5)
         assert len(matches) == 1
         assert matches[0][2] == pytest.approx(90.0 / 110.0, abs=1e-9)
+
+
+class TestReviewRegressions:
+    def test_burn_span_left_of_raster(self):
+        """A polygon wholly left of the raster must burn NOTHING: the
+        negative scanline span used to wrap around and fill the row."""
+        from treedetection_tpu.geo import Affine
+        from treedetection_tpu.vector.rasterize import rasterize_polygon
+        t = Affine.from_origin(100.0, 100.0, 1.0, 1.0)
+        poly = np.array([[80.0, 90.0], [90.0, 90.0], [90.0, 95.0],
+                         [80.0, 95.0]])  # x in [80, 90] < raster x0=100
+        mask = rasterize_polygon(poly, t, (20, 20))
+        assert not mask.any()
+        # and one OVERLAPPING the left edge burns only the interior columns
+        poly2 = np.array([[90.0, 90.0], [105.0, 90.0], [105.0, 95.0],
+                          [90.0, 95.0]])
+        mask2 = rasterize_polygon(poly2, t, (20, 20))
+        assert mask2[:, :5].any() and not mask2[:, 6:].any()
+
+    def test_polygonset_keeps_pad_slot(self):
+        """from_list must pad the LONGEST ring too (the device closing
+        vertex goes into the pad slot, not over a real vertex)."""
+        from treedetection_tpu.vector.polygon import PolygonSet
+        tri = np.array([[0.0, 0.0], [4.0, 0.0], [0.0, 4.0]])
+        ps = PolygonSet.from_list([tri])
+        assert ps.coords.shape[1] >= len(tri) + 1
+        assert np.isnan(ps.coords[0, len(tri), 0])
+
+    def test_intersects_shared_edge_only(self):
+        """Polygons sharing only a boundary edge intersect (shapely
+        semantics, reference helpers.py:364)."""
+        from treedetection_tpu.vector.polygon import (polygon_intersects,
+                                                      polygon_within)
+        a = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+        b = a + np.array([1.0, 0.0])     # shares edge x=1
+        c = a + np.array([2.5, 0.0])     # disjoint
+        assert polygon_intersects(a, b)
+        assert not polygon_intersects(a, c)
+        assert not polygon_within(a, b)
+
+    def test_raster_stats_argmax_skips_nan(self):
+        from treedetection_tpu.geo import Affine
+        from treedetection_tpu.vector.rasterize import polygon_raster_stats
+        t = Affine.from_origin(0.0, 10.0, 1.0, 1.0)
+        r = np.full((10, 10), 1.0, np.float32)
+        r[5, 5] = np.nan          # nodata hole inside the polygon
+        r[2, 2] = 7.0             # true max
+        poly = np.array([[0.5, 0.5], [9.5, 0.5], [9.5, 9.5], [0.5, 9.5]])
+        st = polygon_raster_stats(poly, r, t)
+        assert st["max"] == 7.0
+        gx, gy = st["argmax_xy"]
+        assert (gx, gy) == (2.5, 7.5)   # pixel (2,2) center, NOT the NaN cell

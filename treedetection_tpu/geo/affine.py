@@ -110,7 +110,10 @@ class Affine(tuple):
         tiler (reference ``preprocessing.py:102-103``): outward-rounded to whole
         pixels.
         """
-        cols, rows = self.apply_inverse(np.array([minx, maxx]), np.array([miny, maxy]))
+        # all four bbox corners: with a rotated transform (b/d nonzero) the
+        # pixel-space extrema are NOT attained at (min,min)/(max,max) alone
+        cols, rows = self.apply_inverse(np.array([minx, maxx, minx, maxx]),
+                                        np.array([miny, maxy, maxy, miny]))
         c0, c1 = float(np.min(cols)), float(np.max(cols))
         r0, r1 = float(np.min(rows)), float(np.max(rows))
         col_off = int(np.floor(c0 + 1e-9))

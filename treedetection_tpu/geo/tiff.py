@@ -482,7 +482,12 @@ def read_geotiff(path: Union[str, os.PathLike]) -> GeoTiff:
 def _geokeys_for_epsg(epsg: Optional[int]) -> List[int]:
     if epsg is None:
         return []
-    geographic = 4000 <= epsg < 5100 and epsg != 5070  # pragmatic: 4xxx geodetic codes
+    # The 4xxx range is MOSTLY geographic-2D codes, but several projected
+    # CRSs live there too (4647 ETRS89/UTM32 zE-N is common in German
+    # forestry data, 4839 LCC, 5041/5042 UPS).  Classify by exception list
+    # rather than bare range so those write correct projected geokeys.
+    projected_in_4xxx = {4647, 4839, 5041, 5042, 5070}
+    geographic = 4000 <= epsg < 5100 and epsg not in projected_in_4xxx
     entries = [
         (GK_MODEL_TYPE, 0, 1, 2 if geographic else 1),
         (GK_RASTER_TYPE, 0, 1, 1),  # PixelIsArea

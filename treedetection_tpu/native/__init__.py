@@ -63,24 +63,39 @@ def get_lib() -> Optional[ctypes.CDLL]:
         except OSError:
             _build_failed = True
             return None
-        lib.td_trace_contours.restype = ctypes.c_int
-        lib.td_trace_contours.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
-        lib.td_lzw_decode.restype = ctypes.c_int
-        lib.td_lzw_decode.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
-        lib.td_resize_threshold.restype = ctypes.c_int
-        lib.td_resize_threshold.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-            ctypes.c_float]
-        lib.td_simplify_dp.restype = ctypes.c_int
-        lib.td_simplify_dp.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
-            ctypes.POINTER(ctypes.c_uint8)]
+        # Bind signatures defensively: a stale binary (git preserves no
+        # mtimes, so a checked-in .bin older than the source still passes the
+        # freshness check when g++ is absent) may lack newer symbols.
+        # Missing OPTIONAL symbols (callers hasattr-guard them) must not
+        # break the whole library; missing REQUIRED ones disable it.
+        try:
+            lib.td_trace_contours.restype = ctypes.c_int
+            lib.td_trace_contours.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
+            lib.td_lzw_decode.restype = ctypes.c_int
+            lib.td_lzw_decode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+        except AttributeError:
+            _build_failed = True
+            return None
+        for name, restype, argtypes in (
+            ("td_resize_threshold", ctypes.c_int, [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_float]),
+            ("td_simplify_dp", ctypes.c_int, [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.c_double, ctypes.POINTER(ctypes.c_uint8)]),
+        ):
+            try:
+                fn = getattr(lib, name)
+                fn.restype = restype
+                fn.argtypes = argtypes
+            except AttributeError:
+                pass  # optional symbol; callers hasattr-guard
         _lib = lib
         return _lib
 
@@ -96,17 +111,26 @@ def trace_contours(mask: np.ndarray, include_holes: bool = True
     h, w = mask.shape
     lib = get_lib()
     if lib is not None:
-        max_pts = h * w + 1024
+        # border following visits a boundary pixel at most 4 times, so
+        # 4*h*w bounds the total points — point overflow (which the tracer
+        # signals only by returning early) cannot occur.  Contour-count
+        # overflow retries with a larger budget instead of silently
+        # truncating (speckled masks can exceed any fixed count).
+        max_pts = 4 * h * w + 1024
         max_ctr = 4096
         out_xy = np.empty(2 * max_pts, dtype=np.int32)
-        out_sizes = np.empty(max_ctr, dtype=np.int32)
-        out_hole = np.empty(max_ctr, dtype=np.uint8)
-        n = lib.td_trace_contours(
-            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
-            out_xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            out_sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            out_hole.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            max_pts, max_ctr)
+        while True:
+            out_sizes = np.empty(max_ctr, dtype=np.int32)
+            out_hole = np.empty(max_ctr, dtype=np.uint8)
+            n = lib.td_trace_contours(
+                mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+                out_xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                out_sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                out_hole.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                max_pts, max_ctr)
+            if n < max_ctr or max_ctr >= h * w:
+                break
+            max_ctr *= 4
         contours = []
         off = 0
         for i in range(n):

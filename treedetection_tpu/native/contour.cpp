@@ -116,34 +116,44 @@ extern "C" {
 // (treedetection_tpu.prediction._resize_mask_np).
 int td_resize_threshold(const uint8_t* mask, int in_h, int in_w,
                         uint8_t* out, int out_h, int out_w, float thresh) {
+  // double precision + the numpy fallback's EXACT weighted-sum form and
+  // association order (a00*(1-ly)*(1-lx) + a01*(1-ly)*lx + ... summed left
+  // to right): the float32 lerp form differed by rounding, which could flip
+  // the threshold on values within float32 eps of 127.5.
   std::vector<int> x0(out_w), x1(out_w);
-  std::vector<float> lx(out_w);
+  std::vector<double> lx(out_w);
   for (int j = 0; j < out_w; ++j) {
-    float sx = (j + 0.5f) * in_w / out_w - 0.5f;
-    int xx0 = (int)std::floor(sx);
-    float f = sx - xx0;
-    if (xx0 < 0) { xx0 = 0; f = 0.f; }
+    double sx = (j + 0.5) * in_w / out_w - 0.5;
+    double fl = std::floor(sx);
+    int xx0 = (int)fl;
+    if (xx0 < 0) xx0 = 0;
     if (xx0 > in_w - 1) xx0 = in_w - 1;
-    if (f > 1.f) f = 1.f;
+    double f = sx - xx0;                 // numpy: ys - CLIPPED y0
+    if (f < 0.) f = 0.;
+    if (f > 1.) f = 1.;
     int xx1 = xx0 + 1 < in_w ? xx0 + 1 : in_w - 1;
     x0[j] = xx0; x1[j] = xx1; lx[j] = f;
   }
+  const double dthresh = (double)thresh;
   for (int i = 0; i < out_h; ++i) {
-    float sy = (i + 0.5f) * in_h / out_h - 0.5f;
-    int y0 = (int)std::floor(sy);
-    float fy = sy - y0;
-    if (y0 < 0) { y0 = 0; fy = 0.f; }
+    double sy = (i + 0.5) * in_h / out_h - 0.5;
+    double flv = std::floor(sy);
+    int y0 = (int)flv;
+    if (y0 < 0) y0 = 0;
     if (y0 > in_h - 1) y0 = in_h - 1;
-    if (fy > 1.f) fy = 1.f;
+    double fy = sy - y0;
+    if (fy < 0.) fy = 0.;
+    if (fy > 1.) fy = 1.;
     int y1 = y0 + 1 < in_h ? y0 + 1 : in_h - 1;
     const uint8_t* r0 = mask + (size_t)y0 * in_w;
     const uint8_t* r1 = mask + (size_t)y1 * in_w;
     uint8_t* orow = out + (size_t)i * out_w;
     for (int j = 0; j < out_w; ++j) {
-      float v0 = r0[x0[j]] + (r0[x1[j]] - r0[x0[j]]) * lx[j];
-      float v1 = r1[x0[j]] + (r1[x1[j]] - r1[x0[j]]) * lx[j];
-      float v = v0 + (v1 - v0) * fy;
-      orow[j] = v > thresh ? 1 : 0;
+      double v = ((double)r0[x0[j]] * (1.0 - fy) * (1.0 - lx[j])
+                  + (double)r0[x1[j]] * (1.0 - fy) * lx[j])
+                 + (double)r1[x0[j]] * fy * (1.0 - lx[j]);
+      v = v + (double)r1[x1[j]] * fy * lx[j];
+      orow[j] = v > dthresh ? 1 : 0;
     }
   }
   return 0;

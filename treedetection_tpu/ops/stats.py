@@ -60,7 +60,13 @@ def _close_rings(polys: jnp.ndarray) -> jnp.ndarray:
     lengths = jnp.sum(finite, axis=1)                 # (N,)
     idx = jnp.clip(lengths, 0, p - 1)
     first = polys[:, 0, :]
-    closed = polys.at[jnp.arange(n), idx].set(first)
+    # a ring with NO pad slot (lengths == P) must be left untouched — writing
+    # into idx = P-1 would overwrite its last real vertex.  PolygonSet pads
+    # to lens.max()+1 so this only triggers for explicit max_points callers.
+    rows = jnp.arange(n)
+    keep = (lengths >= p)[:, None]
+    closed = polys.at[rows, idx].set(
+        jnp.where(keep, polys[rows, idx], first))
     return closed
 
 

@@ -244,6 +244,33 @@ def _segments_intersect(p: Coords, q: Coords) -> bool:
     return bool(proper.any())
 
 
+def _segments_touch(p: Coords, q: Coords) -> bool:
+    """Any boundary CONTACT between two rings: an endpoint of one segment
+    lying on the other (covers T-contacts and collinear shared edges, which
+    the proper-crossing test in :func:`_segments_intersect` misses —
+    shapely's ``intersects`` counts these as True)."""
+    a1 = ensure_open(p)
+    b1 = ensure_open(q)
+    if len(a1) < 2 or len(b1) < 2:
+        return False
+    a2 = np.roll(a1, -1, axis=0)
+    b2 = np.roll(b1, -1, axis=0)
+
+    def on_segment(s1, s2, pt):
+        cr = ((s2[..., 0] - s1[..., 0]) * (pt[..., 1] - s1[..., 1])
+              - (s2[..., 1] - s1[..., 1]) * (pt[..., 0] - s1[..., 0]))
+        inside = ((pt[..., 0] >= np.minimum(s1[..., 0], s2[..., 0]))
+                  & (pt[..., 0] <= np.maximum(s1[..., 0], s2[..., 0]))
+                  & (pt[..., 1] >= np.minimum(s1[..., 1], s2[..., 1]))
+                  & (pt[..., 1] <= np.maximum(s1[..., 1], s2[..., 1])))
+        return (cr == 0) & inside
+
+    A1, A2 = a1[:, None, :], a2[:, None, :]
+    B1, B2 = b1[None, :, :], b2[None, :, :]
+    return bool((on_segment(A1, A2, B1) | on_segment(A1, A2, B2)
+                 | on_segment(B1, B2, A1) | on_segment(B1, B2, A2)).any())
+
+
 def polygon_intersects(p: Coords, q: Coords) -> bool:
     """True if the two polygons share any area or boundary point."""
     pb, qb = polygon_bounds(p), polygon_bounds(q)
@@ -251,8 +278,12 @@ def polygon_intersects(p: Coords, q: Coords) -> bool:
         return False
     if _segments_intersect(p, q):
         return True
-    return bool(points_in_polygon(ensure_open(p)[:1], q)[0]
-                or points_in_polygon(ensure_open(q)[:1], p)[0])
+    if bool(points_in_polygon(ensure_open(p)[:1], q)[0]
+            or points_in_polygon(ensure_open(q)[:1], p)[0]):
+        return True
+    # boundary-only contact (shared edge / T-touch): shapely intersects()
+    # semantics count it (reference helpers.py:364,806-812)
+    return _segments_touch(p, q)
 
 
 def polygon_within(p: Coords, q: Coords) -> bool:
@@ -400,7 +431,10 @@ class PolygonSet:
                   dtype=np.float64) -> "PolygonSet":
         rings = [ensure_open(p) for p in polys]
         lens = np.array([len(r) for r in rings], dtype=np.int32)
-        P = int(max_points or (lens.max() if len(lens) else 1))
+        # +1: every ring keeps at least one NaN pad row — the device kernels'
+        # _close_rings writes the closing vertex into the first pad slot, and
+        # a ring with zero padding would get its LAST REAL vertex overwritten
+        P = int(max_points or (lens.max() + 1 if len(lens) else 1))
         out = np.full((len(rings), max(P, 1), 2), np.nan, dtype=dtype)
         for i, r in enumerate(rings):
             k = min(len(r), P)

@@ -77,10 +77,13 @@ def _burn(out: np.ndarray, coords: np.ndarray, transform: Affine, value) -> None
         n = int(np.isfinite(xs).sum())
         row = r0 + i
         for k in range(0, n - 1, 2):
-            a = int(np.ceil(xs[k] - 0.5))
-            b = int(np.floor(xs[k + 1] - 0.5))
+            # clamp BEFORE slicing: a span wholly left of the raster gives
+            # b <= -2, and out[row, 0:b+1] with a negative stop would wrap
+            # around and burn nearly the whole row
+            a = max(int(np.ceil(xs[k] - 0.5)), 0)
+            b = min(int(np.floor(xs[k + 1] - 0.5)), w - 1)
             if b >= a:
-                out[row, max(a, 0):min(b, w - 1) + 1] = value
+                out[row, a:b + 1] = value
 
 
 def polygon_raster_stats(coords: np.ndarray, raster: np.ndarray,
@@ -107,9 +110,9 @@ def polygon_raster_stats(coords: np.ndarray, raster: np.ndarray,
     vals = vals[np.isfinite(vals)]
     if len(vals) == 0:
         return {"count": 0}
-    mi = int(np.argmax(sub[mask.astype(bool)])) if False else None
-    # geo coords of max pixel
-    masked = np.where(mask, sub, -np.inf)
+    # geo coords of max pixel; NaN nodata holes inside the polygon must not
+    # win the argmax (np.argmax prefers NaN), so mask them out too
+    masked = np.where(mask & np.isfinite(sub), sub, -np.inf)
     idx = np.unravel_index(int(np.argmax(masked)), masked.shape)
     gx, gy = subt.apply(idx[1] + 0.5, idx[0] + 0.5)
     return {
