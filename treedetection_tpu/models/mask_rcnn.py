@@ -24,7 +24,7 @@ from treedetection_tpu.models.rpn import RPNHead, generate_proposals
 from treedetection_tpu.models.roi_heads import (
     BoxHead, Detections, MaskHead, box_inference)
 from treedetection_tpu.ops.roi_align import (
-    multilevel_roi_align, multilevel_roi_align_batched)
+    multilevel_roi_align_batched)
 
 FPN_STRIDES = (4, 8, 16, 32, 64)
 

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 
 from treedetection_tpu.ops.boxes import apply_deltas, clip_boxes
 from treedetection_tpu.ops.nms import nms_mask
-from treedetection_tpu.ops.roi_align import multilevel_roi_align
 
 BOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
 

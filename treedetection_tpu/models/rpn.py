@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from treedetection_tpu.ops.boxes import apply_deltas, clip_boxes
-from treedetection_tpu.ops.nms import batched_nms
+from treedetection_tpu.ops.nms import nms_mask
 
 
 class RPNHead(nn.Module):
@@ -65,7 +65,6 @@ def generate_proposals(logits: Sequence[jnp.ndarray],
     P2's ~196k anchors at 1024^2 input, where the exact sort dominates the
     proposal stage.  Exact mode (0) is the oracle-parity default.
     """
-    from treedetection_tpu.ops.nms import nms_mask
 
     # NMS runs per level (exactly what detectron2's level-offset batched NMS
     # computes) so the IoU matrices stay at K_l^2 instead of (sum K_l)^2 —

@@ -11,4 +11,4 @@ as a pure-functional optax loop whose step jits over a device mesh
 
 from treedetection_tpu.train.losses import mask_rcnn_losses  # noqa: F401
 from treedetection_tpu.train.train import (  # noqa: F401
-    TrainConfig, TrainState, make_train_step, train_model, PRESETS)
+    TrainConfig, make_train_step, train_model, PRESETS)

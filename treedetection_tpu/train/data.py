@@ -118,6 +118,14 @@ def make_training_tiles(image_path: str, crowns_gpkg: str,
             inv = wt.invert()
             mask_t = Affine(wt.a * w / mask_size, wt.b, wt.c,
                             wt.d, wt.e * h / mask_size, wt.f)
+            if len(idxs) > max_gt:
+                # crowns past the budget would otherwise become background
+                # NEGATIVES (their anchors match no GT) — make the drop loud
+                import logging
+                logging.getLogger("treedetection_tpu").warning(
+                    f"tile ({tx:.0f},{ty:.0f}): {len(idxs)} crowns exceed "
+                    f"max_gt={max_gt}; {len(idxs) - max_gt} dropped (raise "
+                    f"max_gt or shrink tile_size_m)")
             for k, ci in enumerate(idxs[:max_gt]):
                 ring = ensure_open(crowns[ci])
                 cols, rows = inv.apply(ring[:, 0], ring[:, 1])
@@ -258,7 +266,10 @@ def prepare_pretraining_tiles(rgb_path: str, mask_path: str, out_dir: str,
             dest = test_dir if rng.random() < test_frac else train_dir
             name = f"{stem}_{int(tx)}_{int(ty)}"
             img_path = os.path.join(dest, f"{name}.tif")
-            write_geotiff(img_path, img[:, :, :3].astype(np.uint8), wt,
+            rgb8 = img[:, :, :3]
+            if rgb8.dtype == np.uint16:  # 16-bit rasters: rescale, not mod-256
+                rgb8 = (rgb8 / 257.0)
+            write_geotiff(img_path, rgb8.astype(np.uint8), wt,
                           crs=rgb.crs)
             write_geotiff(os.path.join(dest, f"{name}_mask.tif"),
                           binary, wt, crs=rgb.crs)

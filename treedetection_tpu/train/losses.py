@@ -49,10 +49,14 @@ def assign_anchors(anchors: jnp.ndarray, gt: GroundTruth,
     best_iou = jnp.max(iou, axis=1)
     labels = jnp.where(best_iou >= pos_iou, 1,
                        jnp.where(best_iou < neg_iou, 0, -1))
-    # force-match the best anchor of each GT (ties broadcast like detectron2)
+    # force-match the best anchor of each GT (ties broadcast like detectron2).
+    # Scatter with MAX, not set: every padding GT's argmax lands on anchor 0,
+    # and a duplicate-index set scatter is nondeterministic — a valid GT whose
+    # best anchor is also anchor 0 could lose its forced positive to the
+    # padding row's False.
     best_anchor_per_gt = jnp.argmax(iou, axis=0)            # (G,)
-    forced = jnp.zeros(anchors.shape[0], dtype=bool).at[best_anchor_per_gt].set(
-        gt.valid)
+    forced = jnp.zeros(anchors.shape[0], dtype=jnp.int32).at[
+        best_anchor_per_gt].max(gt.valid.astype(jnp.int32)) > 0
     labels = jnp.where(forced, 1, labels)
     return labels, best_gt
 
@@ -86,65 +90,80 @@ def rpn_loss(logits: Sequence[jnp.ndarray], deltas: Sequence[jnp.ndarray],
     return {"rpn_objectness": objectness, "rpn_regression": regression}
 
 
-def roi_losses(cls_logits: jnp.ndarray, box_deltas: jnp.ndarray,
-               mask_logits: jnp.ndarray, proposals: jnp.ndarray,
-               proposal_valid: jnp.ndarray, gt: GroundTruth,
-               fg_iou: float = 0.5) -> Dict[str, jnp.ndarray]:
-    """Box-head CE + smooth-L1 and mask BCE for ONE image.
+# detectron2's ROI-head sampler: 512 proposals per image, at most 25% fg.
+# With static shapes we keep every proposal and reproduce the sampler's
+# EXPECTED weighting instead: fg weight min(1, 128/n_fg), bg weight
+# (512 - n_fg_eff)/n_bg, normalized by 512 — the same statistical trick
+# rpn_loss documents for batch_per_image.
+ROI_BATCH_PER_IMAGE = 512
+ROI_FG_CAP = 128            # 25% of 512
+MASK_FG_BUDGET = 128        # static mask-loss subset (d2 pools only sampled fg)
+MASK_DOWNSAMPLE = 4         # GT masks stored at input_size/4
 
-    ``cls_logits`` (K, 2), ``box_deltas`` (K, 4), ``mask_logits`` (K, R, R)
-    computed on ``proposals`` (K, 4).
-    """
+
+def assign_proposals(proposals: jnp.ndarray, proposal_valid: jnp.ndarray,
+                     gt: GroundTruth, fg_iou: float = 0.5):
+    """-> (fg, bg, best_gt) for the ROI heads of ONE image."""
     iou = box_iou_matrix(proposals, gt.boxes)
     iou = jnp.where(gt.valid[None, :], iou, -1.0)
     best_gt = jnp.argmax(iou, axis=1)
     best_iou = jnp.max(iou, axis=1)
     fg = (best_iou >= fg_iou) & proposal_valid
     bg = (best_iou < fg_iou) & proposal_valid
+    return fg, bg, best_gt, best_iou
 
-    n_valid = jnp.maximum(proposal_valid.sum(), 1)
+
+def roi_box_losses(cls_logits: jnp.ndarray, box_deltas: jnp.ndarray,
+                   proposals: jnp.ndarray, fg: jnp.ndarray, bg: jnp.ndarray,
+                   best_gt: jnp.ndarray, gt: GroundTruth
+                   ) -> Dict[str, jnp.ndarray]:
+    """Box-head CE + smooth-L1 for ONE image (``cls_logits`` (K, 2),
+    ``box_deltas`` (K, 4) on ``proposals`` (K, 4))."""
     n_fg = jnp.maximum(fg.sum(), 1)
+    n_bg = jnp.maximum(bg.sum(), 1)
+    n_fg_eff = jnp.minimum(n_fg, ROI_FG_CAP)
+    w_fg = jnp.minimum(1.0, ROI_FG_CAP / n_fg)
+    w_bg = jnp.minimum(1.0, (ROI_BATCH_PER_IMAGE - n_fg_eff) / n_bg)
 
-    # classification: class 0 = tree, class 1 = background
+    # classification: class 0 = tree, class 1 = background.  Without the
+    # sampler weighting, ~1000 bg proposals would outvote a handful of fg
+    # ~100:1 and bias the head toward background.
     log_probs = jax.nn.log_softmax(cls_logits, axis=-1)
-    cls_loss = -(jnp.where(fg, log_probs[:, 0], 0.0)
-                 + jnp.where(bg, log_probs[:, 1], 0.0)).sum() / n_valid
+    cls_loss = -(w_fg * jnp.where(fg, log_probs[:, 0], 0.0).sum()
+                 + w_bg * jnp.where(bg, log_probs[:, 1], 0.0).sum()
+                 ) / ROI_BATCH_PER_IMAGE
 
     target = encode_deltas(proposals, gt.boxes[best_gt], BOX_REG_WEIGHTS)
     reg = smooth_l1(box_deltas - target).sum(axis=-1)
-    box_loss = jnp.where(fg, reg, 0.0).sum() / n_valid
+    box_loss = w_fg * jnp.where(fg, reg, 0.0).sum() / ROI_BATCH_PER_IMAGE
+    return {"cls": cls_loss, "box_reg": box_loss}
 
-    # mask loss: roi-align the matched GT mask to the proposal at RxR
+
+def roi_mask_loss(mask_logits: jnp.ndarray, proposals: jnp.ndarray,
+                  fg: jnp.ndarray, best_gt: jnp.ndarray, gt: GroundTruth
+                  ) -> jnp.ndarray:
+    """Mask BCE on an (M,)-selected proposal subset: roi-align the matched
+    GT mask (stored at input_size/MASK_DOWNSAMPLE) to each proposal at RxR.
+    Callers pass only the fg-budget subset — gathering the GT masks for all
+    ~1k proposals would materialize hundreds of MB per image in the VJP."""
     r = mask_logits.shape[-1]
-    matched_masks = gt.masks[best_gt].astype(jnp.float32)   # (K, Hm, Wm)
-    hm, wm = gt.masks.shape[-2], gt.masks.shape[-1]
+    hm = gt.masks.shape[-2]
+    assert gt.masks.shape[-1] == hm, "square GT mask rasters expected"
+    matched_masks = gt.masks[best_gt].astype(jnp.float32)   # (M, Hm, Wm)
 
     def crop_one(m, box):
         return roi_align(m[:, :, None], box[None], r,
                          spatial_scale=1.0, sampling_ratio=2)[0, :, :, 0]
 
-    # scale proposals into mask-raster coords via the caller's convention:
-    # gt.masks are at image resolution downsampled by image_size / Hm
-    mask_targets = jax.vmap(crop_one)(matched_masks, proposals
-                                      * (hm / _image_size_hint(proposals, hm)))
+    mask_targets = jax.vmap(crop_one)(matched_masks,
+                                      proposals / MASK_DOWNSAMPLE)
     mask_targets = (mask_targets > 0.5).astype(jnp.float32)
     # stable BCE-with-logits: max(l,0) - l*t + log1p(exp(-|l|))
     l = mask_logits
     bce = (jnp.maximum(l, 0.0) - l * mask_targets
            + jnp.log1p(jnp.exp(-jnp.abs(l))))
-    mask_loss = (jnp.where(fg[:, None, None], bce, 0.0).sum()
-                 / (n_fg * r * r))
-    return {"cls": cls_loss, "box_reg": box_loss, "mask": mask_loss}
-
-
-def _image_size_hint(proposals: jnp.ndarray, hm: int) -> float:
-    # proposals live in model-input pixel coords; the caller supplies GT masks
-    # at a fixed fraction of the input size.  We infer the ratio statically
-    # from the training config: masks are input_size // MASK_DOWNSAMPLE.
-    return float(hm * MASK_DOWNSAMPLE)
-
-
-MASK_DOWNSAMPLE = 4  # GT masks stored at input_size/4 (config of train step)
+    n_fg = jnp.maximum(fg.sum(), 1)
+    return jnp.where(fg[:, None, None], bce, 0.0).sum() / (n_fg * r * r)
 
 
 def mask_rcnn_losses(model, params, images: jnp.ndarray, gt_boxes: jnp.ndarray,
@@ -163,9 +182,6 @@ def mask_rcnn_losses(model, params, images: jnp.ndarray, gt_boxes: jnp.ndarray,
 
     cfg = model.cfg
 
-    def apply_fn(p, x):
-        return model.apply(p, x, method=_forward_features)
-
     feats, logits, deltas = model.apply(params, images,
                                         method=_forward_features)
     anchors = [jnp.asarray(a) for a in _anchors_for(cfg)]
@@ -181,6 +197,7 @@ def mask_rcnn_losses(model, params, images: jnp.ndarray, gt_boxes: jnp.ndarray,
         # append GT boxes so positives always exist (detectron2 behavior)
         prop_boxes = jnp.concatenate([props.boxes, boxes_i])
         prop_valid = jnp.concatenate([props.scores > -jnp.inf, valid_i])
+        fg, bg, best_gt, best_iou = assign_proposals(prop_boxes, prop_valid, gt)
         # pallas=False: the Pallas pooling kernel has no VJP; training needs
         # gradients to flow through the pooled features into the backbone
         pooled = multilevel_roi_align(
@@ -188,14 +205,21 @@ def mask_rcnn_losses(model, params, images: jnp.ndarray, gt_boxes: jnp.ndarray,
             cfg.box_pool, FPN_STRIDES[:4], pallas=False)
         cls_logits, box_deltas = model.apply(
             params, pooled.astype(cfg.dtype), method=_apply_box_head)
+        roi = roi_box_losses(cls_logits, box_deltas[:, :4], prop_boxes,
+                             fg, bg, best_gt, gt)
+        # mask head only on a static fg budget (d2 pools only sampled fg):
+        # pooling + GT-mask gathers for all ~1k proposals would cost ~8x the
+        # memory for rows whose loss weight is zero
+        m = min(MASK_FG_BUDGET, prop_boxes.shape[0])
+        _, sel = jax.lax.top_k(jnp.where(fg, best_iou, -1.0), m)
         mask_pooled = multilevel_roi_align(
-            [x.astype(jnp.float32) for x in f_img[:4]], prop_boxes,
+            [x.astype(jnp.float32) for x in f_img[:4]], prop_boxes[sel],
             cfg.mask_pool, FPN_STRIDES[:4], pallas=False)
         mask_logits = model.apply(
             params, mask_pooled.astype(cfg.dtype), method=_apply_mask_head
         )[..., 0]
-        roi = roi_losses(cls_logits, box_deltas[:, :4], mask_logits,
-                         prop_boxes, prop_valid, gt)
+        roi["mask"] = roi_mask_loss(mask_logits, prop_boxes[sel], fg[sel],
+                                    best_gt[sel], gt)
         return {**rpn, **roi}
 
     losses = jax.vmap(per_image)(feats, logits, deltas,

@@ -59,6 +59,11 @@ class TrainConfig:
     clip_grad_norm: float = 1.0    # detectron2 CLIP_GRADIENTS value
     max_gt: int = 64               # static GT budget per image
     max_eval_batches: int = 8      # cap per-eval cost
+    # std used when normalizing uint8 shards on device.  "torchvision" for
+    # from-scratch/std-normalized checkpoints (the default the shipped
+    # example uses), "ones" when fine-tuning a converted detectron2-caffe
+    # checkpoint (those weights expect std=1 inputs).
+    pixel_std: str = "torchvision"
 
     @classmethod
     def from_preset(cls, name: str, **over) -> "TrainConfig":
@@ -69,10 +74,6 @@ class TrainConfig:
                       eval_period=p["eval_period"], patience=p["patience"])
         kwargs.update(over)  # explicit overrides win over preset values
         return cls(**kwargs)
-
-
-class TrainState(dict):
-    """Minimal pytree train state: params + opt_state + step."""
 
 
 def _freeze_mask(params: Dict, n_stages: int) -> Dict:
@@ -90,10 +91,15 @@ def _freeze_mask(params: Dict, n_stages: int) -> Dict:
 
 
 def make_optimizer(tc: TrainConfig, params: Dict) -> optax.GradientTransformation:
+    # join_schedules passes (step - warmup_iters) to the second schedule, so
+    # the decay boundaries must be expressed relative to the warmup end —
+    # otherwise every decay fires warmup_iters steps late
     schedule = optax.join_schedules([
         optax.linear_schedule(tc.base_lr / 100, tc.base_lr, tc.warmup_iters),
         optax.piecewise_constant_schedule(
-            tc.base_lr, {int(tc.max_iter * 0.7): 0.1, int(tc.max_iter * 0.9): 0.1}),
+            tc.base_lr,
+            {max(int(tc.max_iter * 0.7) - tc.warmup_iters, 1): 0.1,
+             max(int(tc.max_iter * 0.9) - tc.warmup_iters, 2): 0.1}),
     ], [tc.warmup_iters])
     sgd = optax.chain(
         optax.clip_by_global_norm(tc.clip_grad_norm),
@@ -105,28 +111,36 @@ def make_optimizer(tc: TrainConfig, params: Dict) -> optax.GradientTransformatio
         {"train": sgd, "frozen": optax.set_to_zero()}, labels)
 
 
-def _prep_batch(batch):
+def _prep_batch(batch, pixel_std: str = "torchvision"):
     """Device-side input prep: uint8 raw-RGB shards are normalized here (BGR
-    order + caffe means + torchvision std — the host-side twin lives in
+    order + caffe means + the configured std — the host-side twin lives in
     ``train.data.make_training_tiles``), float shards pass through; masks cast
-    to float32.  Keeps host->device transfers at uint8 width."""
+    to float32.  Keeps host->device transfers at uint8 width.
+
+    ``pixel_std``: "torchvision" (from-scratch / std-normalized checkpoints)
+    or "ones" (fine-tuning converted detectron2-caffe weights, which expect
+    std=1 inputs — dividing by ~57 would silently shrink activations 57x).
+    """
     img = batch["image"]
     if img.dtype == jnp.uint8:
         from treedetection_tpu.ops.image import TRAIN_PIXEL_STD_BGR, normalize_bgr
-        img = normalize_bgr(img, pixel_std=TRAIN_PIXEL_STD_BGR)
+        std = (TRAIN_PIXEL_STD_BGR if pixel_std == "torchvision"
+               else (1.0, 1.0, 1.0))
+        img = normalize_bgr(img, pixel_std=std)
     masks = batch["masks"]
     if masks.dtype != jnp.float32:
         masks = masks.astype(jnp.float32)
     return img, masks
 
 
-def make_train_step(model: MaskRCNN, optimizer: optax.GradientTransformation
-                    ) -> Callable:
+def make_train_step(model: MaskRCNN, optimizer: optax.GradientTransformation,
+                    tc: Optional[TrainConfig] = None) -> Callable:
     """Build the jittable train step: (params, opt_state, batch, rng) ->
     (params, opt_state, metrics)."""
+    pixel_std = tc.pixel_std if tc is not None else "torchvision"
 
     def step(params, opt_state, batch, rng):
-        image, masks = _prep_batch(batch)
+        image, masks = _prep_batch(batch, pixel_std)
 
         def loss_fn(p):
             return mask_rcnn_losses(
@@ -142,14 +156,15 @@ def make_train_step(model: MaskRCNN, optimizer: optax.GradientTransformation
     return step
 
 
-def make_sharded_train_step(model, optimizer, mesh) -> Callable:
+def make_sharded_train_step(model, optimizer, mesh,
+                            tc: Optional[TrainConfig] = None) -> Callable:
     """Jit the step over a mesh: batch sharded on the 'data' axis, params
     replicated; XLA inserts the gradient all-reduce."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     batch_shardings = {"image": data, "boxes": data, "masks": data, "valid": data}
-    step = make_train_step(model, optimizer)
+    step = make_train_step(model, optimizer, tc)
     return jax.jit(step,
                    in_shardings=(repl, repl, batch_shardings, repl),
                    out_shardings=(repl, repl, repl))
@@ -185,12 +200,13 @@ def train_model(dataset: Iterable[Dict[str, np.ndarray]],
     opt_state = optimizer.init(params)
 
     if mesh is not None:
-        step_fn = make_sharded_train_step(model, optimizer, mesh)
+        step_fn = make_sharded_train_step(model, optimizer, mesh, tc)
     else:
-        step_fn = jax.jit(make_train_step(model, optimizer))
+        step_fn = jax.jit(make_train_step(model, optimizer, tc))
 
     rng = jax.random.PRNGKey(0)
-    self_loss = step_loss_only(model) if val_dataset is not None else None
+    self_loss = (step_loss_only(model, tc.pixel_std)
+                 if val_dataset is not None else None)
     history: Dict[str, list] = {"total_loss": [], "val_loss": []}
     best_val = float("inf")
     best_params = params
@@ -225,7 +241,9 @@ def train_model(dataset: Iterable[Dict[str, np.ndarray]],
                         f"({(time.time() - t0) / it:.2f}s/it)")
         if val_dataset is not None and it % tc.eval_period == 0:
             val = _evaluate(self_loss, params, val_dataset, rng,
-                            tc.max_eval_batches)
+                            tc.max_eval_batches, logger)
+            if val is None:
+                continue  # exhausted iterator: no signal, no early-stop tick
             history["val_loss"].append(val)
             if val < best_val:
                 best_val = val
@@ -243,10 +261,10 @@ def train_model(dataset: Iterable[Dict[str, np.ndarray]],
     return (best_params if val_dataset is not None else params), history
 
 
-def step_loss_only(model):
+def step_loss_only(model, pixel_std: str = "torchvision"):
     @jax.jit
     def f(params, batch, rng):
-        image, masks = _prep_batch(batch)
+        image, masks = _prep_batch(batch, pixel_std)
         total, _ = mask_rcnn_losses(model, params, image,
                                     batch["boxes"], masks,
                                     batch["valid"], rng)
@@ -254,13 +272,23 @@ def step_loss_only(model):
     return f
 
 
-def _evaluate(loss_fn, params, dataset, rng, max_batches: int = 8) -> float:
+def _evaluate(loss_fn, params, dataset, rng, max_batches: int = 8,
+              logger=None) -> Optional[float]:
+    """Mean val loss, or None when the dataset yields nothing — a one-shot
+    generator exhausts after the FIRST eval, and mapping that to inf would
+    count as a plateau and silently early-stop at the first checkpoint."""
     vals = []
     for i, batch in enumerate(dataset):
         if i >= max_batches:
             break
         vals.append(float(loss_fn(params, batch, rng)))
-    return float(np.mean(vals)) if vals else float("inf")
+    if not vals:
+        if logger:
+            logger.warning(
+                "val_dataset yielded no batches (exhausted one-shot "
+                "iterator?) — skipping this eval; pass a re-iterable")
+        return None
+    return float(np.mean(vals))
 
 
 def save_checkpoint(path: str, params: Dict) -> None:
