@@ -156,3 +156,29 @@ class TestCrossHostSeams:
         assert strip_stem in tiled
         assert "324125317" in tiled      # host 0's base image
         assert "324125318" not in tiled  # host 1's image is host 1's job
+
+
+class TestManifestSharding:
+    def test_env_host_id_suffix(self, monkeypatch):
+        from treedetection_tpu import recoveries
+        monkeypatch.setenv("TREEDETECTION_HOST_ID", "3")
+        assert recoveries._shard_suffix() == ".3"
+
+    def test_distributed_process_id_fallback(self, monkeypatch):
+        """Without TREEDETECTION_HOST_ID, an active jax.distributed run must
+        shard manifests by process id — otherwise every host writes the SAME
+        manifest path and last-writer-wins loses the others' progress."""
+        from treedetection_tpu import recoveries
+        from jax._src import distributed
+        monkeypatch.delenv("TREEDETECTION_HOST_ID", raising=False)
+        assert recoveries._shard_suffix() == ""  # single-process: unsharded
+        monkeypatch.setattr(distributed.global_state, "client", object(),
+                            raising=False)
+        monkeypatch.setattr(distributed.global_state, "num_processes", 4,
+                            raising=False)
+        monkeypatch.setattr(distributed.global_state, "process_id", 2,
+                            raising=False)
+        assert recoveries._shard_suffix() == ".2"
+        # env var wins over the distributed state
+        monkeypatch.setenv("TREEDETECTION_HOST_ID", "7")
+        assert recoveries._shard_suffix() == ".7"

@@ -67,6 +67,32 @@ class TestStitching:
         assert srs == 25832
         assert {round(p["Confidence_score"], 1) for p in props} == {0.9, 0.7}
 
+    def test_stitch_stage_survives_one_bad_image(self, tmp_path, monkeypatch):
+        """One failing image folder must not abort the stage or lose the
+        manifest for completed stems (keep-alive parity with the reference's
+        per-item try/except)."""
+        from treedetection_tpu.recoveries import load_stitching_recovery_data
+        root = tmp_path / "pred"
+        for stem in ("good", "bad"):
+            d = root / stem
+            d.mkdir(parents=True)
+            write_prediction_json(
+                str(d / f"Prediction_{stem}_100_200_50_20_25832.json"),
+                [(circle(125, 225, 5), 0.9)])
+        real = stitching.stitch_image
+
+        def flaky(pred_dir, out_gpkg, *a, **kw):
+            if "bad" in pred_dir:
+                raise OSError("disk full")
+            return real(pred_dir, out_gpkg, *a, **kw)
+
+        monkeypatch.setattr(stitching, "stitch_image", flaky)
+        outputs = stitching.process_and_stitch_predictions(
+            {"logger": None}, str(root), ["good.tif", "bad.tif"])
+        assert len(outputs) == 2
+        assert os.path.exists(os.path.join(str(root), "good.gpkg"))
+        assert set(load_stitching_recovery_data(str(root))) == {"good"}
+
 
 class TestPostprocessing:
     def _config(self, **over):

@@ -329,7 +329,9 @@ def process_files(config: Dict[str, Any]) -> List[str]:
     # compiles wedge single-tenant backends
     wt = config.get("_warmup_thread")
     if wt is not None:
-        wt.join()
+        # bounded: a tunnel outage can hang a (possibly useless) warmup
+        # compile indefinitely; don't let it hang the whole pipeline
+        wt.join(timeout=900)
     _multihost_barrier("predict_done", logger)
     t2 = time.time()
     outputs = postprocess_files(config)

@@ -52,8 +52,7 @@ class OutlineMask:
         from treedetection_tpu.vector.polygon import clip_polygon_box
         clipped = []
         for p in outlines:
-            pb = p if len(p) else None
-            if pb is None:
+            if not len(p):
                 continue
             c = clip_polygon_box(p, box)
             if len(c) >= 4:

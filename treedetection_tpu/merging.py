@@ -209,7 +209,6 @@ def merge_across_batches(config: Dict[str, Any],
     sub_config = dict(config)
     sub_config["merged_path"] = merged_dir
     paths = list(all_paths)
-    process_fn_created: List[str] = []
     # reuse the pairwise machinery with the combined list
     before = set(paths)
     merge_and_crop_images(sub_config, paths if rgbi else [],

@@ -41,6 +41,16 @@ from treedetection_tpu.vector.polygon import PolygonSet, ensure_open
 
 AREA_UPPER_BOUND = 1000.0  # m^2; reference postprocessing.py:765-767
 
+# One postprocess worker dispatches device work at a time.  Jit compiles for
+# fresh (bucket, raster) shapes happen synchronously INSIDE the call, and two
+# concurrent compiles wedge single-tenant remote backends (the warmup-vs-
+# predict hazard, CLAUDE.md) — the file-level thread pool would otherwise
+# issue up to num_workers simultaneous compiles on its first wave.  Execution
+# is serialized by the single device anyway, so the gate costs no throughput;
+# the pool's win (raster decode + vector I/O overlap) is untouched.
+import threading as _threading
+_DEVICE_GATE = _threading.RLock()
+
 # Cumulative per-phase wall-clock over the process' postprocess calls —
 # read by bench.py (BENCH_DETAIL) and perf triage; reset with .clear().
 LAST_POSTPROCESS_STATS: Dict[str, float] = {}
@@ -194,32 +204,33 @@ def _sparse_relation_pairs(kind: str, bounds: np.ndarray, threshold: float,
     nb = _bucket(n)
     bp = np.zeros((nb, 4), dtype=np.float32)
     bp[:n] = bounds
-    b = jnp.asarray(bp)
-    if areas is not None:
-        ap = np.zeros(nb, dtype=np.float32)
-        ap[:n] = areas
-        a = jnp.asarray(ap)
-    else:
-        a = None
     out_i: List[np.ndarray] = []
     out_j: List[np.ndarray] = []
-    for s in range(0, nb, block):
-        e = min(s + block, nb)
-        if kind == "dedupe":
-            m = pairwise_dedupe_mask(b, a, threshold, area_threshold,
-                                     rows=b[s:e], row_areas=a[s:e])
+    with _DEVICE_GATE:
+        b = jnp.asarray(bp)
+        if areas is not None:
+            ap = np.zeros(nb, dtype=np.float32)
+            ap[:n] = areas
+            a = jnp.asarray(ap)
         else:
-            m = pairwise_containment_mask(b, threshold, rows=b[s:e])
-        # fetch the relation BIT-PACKED: the dense bool block is rows x nb
-        # bytes (~170 MB for a 20k-crown county file) and the device->host
-        # link is the cost — 8x less traffic, unpacked by numpy's C loop
-        packed = np.asarray(_pack_bits_rows(m))
-        bits = np.unpackbits(packed, axis=1, count=m.shape[1])
-        ii, jj = np.nonzero(bits)
-        ii = ii + s
-        keep = (ii != jj) & (ii < n) & (jj < n)
-        out_i.append(ii[keep])
-        out_j.append(jj[keep])
+            a = None
+        for s in range(0, nb, block):
+            e = min(s + block, nb)
+            if kind == "dedupe":
+                m = pairwise_dedupe_mask(b, a, threshold, area_threshold,
+                                         rows=b[s:e], row_areas=a[s:e])
+            else:
+                m = pairwise_containment_mask(b, threshold, rows=b[s:e])
+            # fetch the relation BIT-PACKED: the dense bool block is rows x nb
+            # bytes (~170 MB for a 20k-crown county file) and the device->host
+            # link is the cost — 8x less traffic, unpacked by numpy's C loop
+            packed = np.asarray(_pack_bits_rows(m))
+            bits = np.unpackbits(packed, axis=1, count=m.shape[1])
+            ii, jj = np.nonzero(bits)
+            ii = ii + s
+            keep = (ii != jj) & (ii < n) & (jj < n)
+            out_i.append(ii[keep])
+            out_j.append(jj[keep])
     return np.concatenate(out_i), np.concatenate(out_j)
 
 
@@ -462,15 +473,15 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
         [c.min(axis=0) for c in crowns], dtype=np.float64), axis=0))
     local = [c - offset for c in crowns]
     n_all = len(crowns)
-    # bucket BOTH device dims (polygon count, ring points) so the jitted
-    # area/centroid/stat programs compile once and serve every file of a
-    # county run instead of recompiling per (N, P) shape.  The ring-point
-    # bucket is coarse (128): with a 16-point bucket a single long crown
-    # flips the program shape between runs/files, and each fresh shape costs
-    # a multi-second compile through the device tunnel (measured: warm call
+    # bucket the ring-point device dim so the jitted stat programs compile
+    # once and serve every file of a county run instead of recompiling per
+    # P shape (the polygon-count dim is bucketed separately on the stats
+    # subset below; areas/centroids run on host).  The ring-point bucket is
+    # coarse (128): with a 16-point bucket a single long crown flips the
+    # program shape between runs/files, and each fresh shape costs a
+    # multi-second compile through the device tunnel (measured: warm call
     # 0.2 s, fresh-shape compile 3-10 s).
     max_pts = _bucket(max(len(c) for c in crowns) + 1, 128)
-    nb = _bucket(n_all)
     ps = PolygonSet.from_list(local, max_points=max_pts, dtype=np.float32)
     coords = ps.coords
     # areas/centroids are trivial FLOP on ~20k rings: host numpy beats a
@@ -510,38 +521,39 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
         sb = _bucket(len(sub))
         sub_coords = np.full((sb, max_pts, 2), np.nan, dtype=np.float32)
         sub_coords[:len(sub)] = coords[sub]
-        _tu = _time.time()
-        sub_j = jnp.asarray(sub_coords)
-        hr_j = (jnp.asarray(height_raster, dtype=jnp.float32)
-                if height_raster is not None else None)
-        nr_j = (jnp.asarray(ndvi_raster, dtype=jnp.float32)
-                if ndvi_raster is not None else None)
-        if hr_j is not None:
-            jax.block_until_ready(hr_j)
-        _phase("stats_upload", _tu)
-        if hr_j is not None:
-            _tc = _time.time()
-            st = polygon_raster_stats_batch(
-                sub_j, hr_j,
-                jnp.asarray(list(_local_affine(height_affine)),
-                            dtype=jnp.float32),
-                compat_circle=compat_circle)
-            mx = np.asarray(st.max)
-            _phase("stats_height_call", _tc)
-            heights[sub] = mx[:len(sub)]
-            argmax_xy[sub] = np.asarray(st.argmax_xy)[:len(sub)] \
-                + offset[None, :]
-        if nr_j is not None:
-            _tc = _time.time()
-            st = polygon_raster_stats_batch(
-                sub_j, nr_j,
-                jnp.asarray(list(_local_affine(ndvi_affine)),
-                            dtype=jnp.float32),
-                compat_circle=compat_circle)
-            mn = np.asarray(st.mean)
-            _phase("stats_ndvi_call", _tc)
-            mean_ndvi[sub] = mn[:len(sub)]
-            var_ndvi[sub] = np.asarray(st.var)[:len(sub)]
+        with _DEVICE_GATE:
+            _tu = _time.time()
+            sub_j = jnp.asarray(sub_coords)
+            hr_j = (jnp.asarray(height_raster, dtype=jnp.float32)
+                    if height_raster is not None else None)
+            nr_j = (jnp.asarray(ndvi_raster, dtype=jnp.float32)
+                    if ndvi_raster is not None else None)
+            if hr_j is not None:
+                jax.block_until_ready(hr_j)
+            _phase("stats_upload", _tu)
+            if hr_j is not None:
+                _tc = _time.time()
+                st = polygon_raster_stats_batch(
+                    sub_j, hr_j,
+                    jnp.asarray(list(_local_affine(height_affine)),
+                                dtype=jnp.float32),
+                    compat_circle=compat_circle)
+                mx = np.asarray(st.max)
+                _phase("stats_height_call", _tc)
+                heights[sub] = mx[:len(sub)]
+                argmax_xy[sub] = np.asarray(st.argmax_xy)[:len(sub)] \
+                    + offset[None, :]
+            if nr_j is not None:
+                _tc = _time.time()
+                st = polygon_raster_stats_batch(
+                    sub_j, nr_j,
+                    jnp.asarray(list(_local_affine(ndvi_affine)),
+                                dtype=jnp.float32),
+                    compat_circle=compat_circle)
+                mn = np.asarray(st.mean)
+                _phase("stats_ndvi_call", _tc)
+                mean_ndvi[sub] = mn[:len(sub)]
+                var_ndvi[sub] = np.asarray(st.var)[:len(sub)]
     _t = _phase("raster_stats", _t)
 
     # border/overlap exclusion (same local frame as the polygon bounds)
@@ -655,7 +667,9 @@ def _downscale(arr: np.ndarray, transform: Affine, factor: float
     from treedetection_tpu.ops.image import resize_bilinear
     h, w = arr.shape[:2]
     nh, nw = max(int(round(h * factor)), 1), max(int(round(w * factor)), 1)
-    out = np.asarray(resize_bilinear(jnp.asarray(arr)[..., None], nh, nw))[..., 0]
+    with _DEVICE_GATE:
+        out = np.asarray(
+            resize_bilinear(jnp.asarray(arr)[..., None], nh, nw))[..., 0]
     new_t = Affine(transform.a * w / nw, transform.b, transform.c,
                    transform.d, transform.e * h / nh, transform.f)
     return out, new_t
@@ -774,8 +788,9 @@ def process_files_in_directory(config: Dict[str, Any], gpkg_dir: str,
 
     # file-level thread pool (reference used a 5-thread pool,
     # ``postprocessing.py:1051``): raster decode + vector I/O parallelize,
-    # the jitted stats serialize on the device; recovery manifest is saved
-    # from the main thread as completions land.
+    # device dispatch (and thus jit COMPILES, which happen synchronously
+    # inside the call) is serialized by _DEVICE_GATE; recovery manifest is
+    # saved from the main thread as completions land.
     from concurrent.futures import ThreadPoolExecutor, as_completed
     workers = max(min(int(config.get("num_workers") or 5), len(todo) or 1), 1)
     with ThreadPoolExecutor(max_workers=workers) as ex:

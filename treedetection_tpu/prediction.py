@@ -108,6 +108,11 @@ def start_compile_warmup(config: Dict[str, Any]) -> Optional[Any]:
     try:
         from treedetection_tpu import recoveries
         pred_root = os.path.join(config["output_directory"], "predictions")
+        if two_model:
+            # two-model manifests live under predictions/{urban,forest}
+            # (detection.predict_tiles); warmup compiles the urban (first)
+            # model, so its manifest decides whether the compile is useful
+            pred_root = os.path.join(pred_root, "urban")
         done = set(recoveries.load_prediction_recovery_data(
             pred_root, model_path))
         if done and all(os.path.basename(p) in done or p in done
@@ -361,7 +366,14 @@ class Predictor:
             return 0
         os.makedirs(output_dir, exist_ok=True)
         src = GeoTiff(tifpath)
+        try:
+            return self._predict_image(src, items, tifpath, output_dir)
+        finally:
+            # any failure in the stream loop must not leak the mmap/handle
+            src.close()
 
+    def _predict_image(self, src: GeoTiff, items: List[Dict[str, Any]],
+                       tifpath: str, output_dir: str) -> int:
         # static pad size: largest tile window (all tiles share geometry, so
         # this is stable within an image)
         windows = []
@@ -440,13 +452,33 @@ class Predictor:
         prefetch = 2 * bs
         work = iter(zip(items, windows))
 
-        def flush(batch_items, device_out, sizes):
+        def flush(batch_items, device_out, sizes, batch_input):
             nonlocal written
             import time as _time
             from treedetection_tpu.ops.roi_align import (
                 FALLBACK_BUDGET, report_overflow_host)
             t0 = _time.time()
-            out = jax.device_get(device_out)
+            # Dispatch is async: a worker that crashes DURING execution
+            # surfaces its error here at the fetch, not in run_batch's
+            # dispatch try/except.  Keep the batch input around so a
+            # transient device failure can re-dispatch and re-fetch instead
+            # of killing the county run.
+            for attempt in range(3):
+                try:
+                    out = jax.device_get(device_out)
+                    break
+                except Exception as exc:
+                    transient = ("UNAVAILABLE" in str(exc)
+                                 or "INTERNAL" in str(exc))
+                    if attempt == 2 or not transient:
+                        raise
+                    if self.logger:
+                        self.logger.error(
+                            f"Device failure at fetch ({exc}); re-running "
+                            f"batch in 60s (attempt {attempt + 1}/3)")
+                    _time.sleep(60)
+                    jax.clear_caches()
+                    device_out = run_batch(batch_input)
             t1 = _time.time()
             stats["fetch_s"] = stats.get("fetch_s", 0.0) + (t1 - t0)
             # the batched pooler's exact-gather budget is batch-wide
@@ -480,15 +512,24 @@ class Predictor:
             batch_arrays: List[np.ndarray] = []
             sizes: List[Tuple[int, int]] = []
             while decode_q:
-                it, tile, hw = decode_q.popleft().result()
+                fut = decode_q.popleft()
                 nxt = next(work, None)
                 if nxt is not None:
                     decode_q.append(ex.submit(decode, nxt))
-                batch_items.append(it)
-                batch_arrays.append(tile)
-                sizes.append(hw)
+                try:
+                    it, tile, hw = fut.result()
+                except (OSError, ValueError) as exc:
+                    # one corrupt tile window must not kill the image — the
+                    # reference's per-item keep-alive (detection.py:117-120)
+                    if self.logger:
+                        self.logger.error(
+                            f"Tile decode failed ({exc}); skipping tile")
+                else:
+                    batch_items.append(it)
+                    batch_arrays.append(tile)
+                    sizes.append(hw)
                 done += 1
-                if len(batch_items) == bs or not decode_q:
+                if batch_items and (len(batch_items) == bs or not decode_q):
                     stats["fill_tiles"] += bs - len(batch_arrays)
                     while len(batch_arrays) < bs:  # static batch shape
                         batch_arrays.append(np.zeros((pad, pad, 3),
@@ -496,7 +537,7 @@ class Predictor:
                     stacked = np.stack(batch_arrays)
                     batch = stage(stacked) if stage else jnp.asarray(stacked)
                     device_out = run_batch(batch)
-                    pending.append((batch_items, device_out, sizes))
+                    pending.append((batch_items, device_out, sizes, batch))
                     # depth-2 pipeline: keep TWO batches in flight so the
                     # fetch of batch k overlaps batch k+1's compute AND the
                     # dispatch round-trip (on relay backends the RTT alone
@@ -511,7 +552,6 @@ class Predictor:
                             f"{done}/{n} tiles")
             while pending:
                 flush(*pending.popleft())
-        src.close()
         stats["wall_s"] = __import__("time").time() - t_start
         LAST_RUN_STATS.clear()
         LAST_RUN_STATS.update(stats)

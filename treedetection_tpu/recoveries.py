@@ -22,7 +22,25 @@ import yaml
 
 
 def _shard_suffix() -> str:
+    """Manifest shard id: ``TREEDETECTION_HOST_ID`` env, else the
+    ``jax.distributed`` process id when a multi-process run is active.
+
+    The fallback reads jax's distributed global state directly instead of
+    calling ``jax.process_index()`` — the latter initializes the device
+    backend, which manifests-only host code must never trigger (remote
+    backend init can hang during tunnel outages).  Mirrors
+    ``parallel.partition_files``; without it every host of an
+    env-less ``jax.distributed`` run would write the SAME manifest path and
+    last-writer-wins would lose all other hosts' progress."""
     host = os.environ.get("TREEDETECTION_HOST_ID")
+    if host is None:
+        try:
+            from jax._src import distributed
+            state = distributed.global_state
+            if state.client is not None and (state.num_processes or 0) > 1:
+                host = str(state.process_id)
+        except (ImportError, AttributeError):
+            host = None
     return f".{host}" if host else ""
 
 

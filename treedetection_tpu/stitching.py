@@ -154,7 +154,15 @@ def process_and_stitch_predictions(config: Dict[str, Any],
                 for stem, pred_dir, out_gpkg in todo}
         for i, fut in enumerate(as_completed(futs)):
             stem = futs[fut]
-            n = fut.result()
+            try:
+                n = fut.result()
+            except (OSError, ValueError, KeyError, TypeError) as exc:
+                # keep the batch alive (reference per-item try/except,
+                # ``helpers.py:371-377``): one bad image folder or a full
+                # disk must not lose the manifest for completed stems
+                if logger:
+                    logger.error(f"Stitching failed for {stem}: {exc}")
+                continue
             completed.append(stem)
             save_stitching_recovery_data(prediction_root, completed)
             if logger:
