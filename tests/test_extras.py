@@ -506,3 +506,61 @@ class TestRegionGrowLabels:
         ring = np.asarray(geoms[0][0][0])
         assert 412000.0 <= ring[:, 0].min() <= 412064.0
         assert props[0]["TreeHeight"] > 3.0
+
+
+class TestConfigResolution:
+    def _write_min_config(self, tmp_path, extra=""):
+        (tmp_path / "rgb").mkdir()
+        (tmp_path / "nDSM").mkdir()
+        model = tmp_path / "m.npz"
+        model.write_bytes(b"x")
+        cfg = tmp_path / "config.yml"
+        cfg.write_text(
+            "image_directory: rgb\nheight_data_path: nDSM\n"
+            f"combined_model: m.npz\noutput_directory: out\n"
+            f"tiles_path: tiles\n{extra}")
+        return str(cfg)
+
+    def test_merged_path_stays_a_bare_name(self, tmp_path):
+        """merged_path is a subdirectory NAME joined under each image
+        directory; path-resolving it would make os.path.join discard the
+        image directory and lose every seam strip."""
+        from treedetection_tpu.config import get_config, Config
+        cfg_path = self._write_min_config(tmp_path, "merged_path: merged\n")
+        config, _ = get_config(cfg_path)
+        Config.reset()
+        assert config["merged_path"] == "merged"
+        assert not os.path.isabs(config["merged_path"])
+
+    def test_missing_ndvi_keys_warn(self, tmp_path):
+        from treedetection_tpu.config import get_config, Config
+        cfg_path = self._write_min_config(tmp_path)
+        config, _ = get_config(cfg_path)
+        Config.reset()
+        log_dir = os.path.join(config["output_directory"], "logs")
+        logs = ""
+        for f in os.listdir(log_dir):
+            with open(os.path.join(log_dir, f)) as fh:
+                logs += fh.read()
+        assert "ndvi_mean_threshold" in logs and "defaulting" in logs
+        assert config["ndvi_mean_threshold"] == 0.1
+
+    def test_device_cpu_selects_cpu_devices(self, tmp_path):
+        from treedetection_tpu.config import get_config, Config
+        cfg_path = self._write_min_config(tmp_path, "device: cpu\n")
+        config, _ = get_config(cfg_path)
+        Config.reset()
+        assert config["device"] == "cpu"
+        assert all(d.platform == "cpu" for d in config["devices"])
+
+    def test_predictor_honors_config_devices(self):
+        """The YAML device selection must reach the Predictor (previously
+        config['devices'] had no consumer and the key was a silent no-op)."""
+        import jax
+        from treedetection_tpu.prediction import Predictor
+        cpu = jax.devices("cpu")[0]
+        p = Predictor({"devices": [cpu], "batch_size": 2,
+                       "model_input_size": 64, "logger": None}, None)
+        assert p.devices == [cpu]
+        leaf = jax.tree.leaves(p.params)[0]
+        assert list(leaf.devices())[0].platform == "cpu"

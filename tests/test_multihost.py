@@ -114,10 +114,17 @@ class TestCrossHostSeams:
         _run_pipeline(cfg_sh, monkeypatch)
 
         # the seam between host0's image and host1's image got its strips
-        # (merged_path is config-resolved to <root>/merged: rgbi strip has
-        # underscored coords, the height strip concatenated digits)
-        mh_strips = sorted(p.name for p in (mh / "merged").glob("*.tif"))
-        sh_strips = sorted(p.name for p in (sh / "merged").glob("*.tif"))
+        # (merged_path is a bare subdirectory NAME under each source dir:
+        # the rgbi strip — underscored coords — lands in rgb/merged, the
+        # height strip — concatenated digits — in nDSM/merged)
+        def _strips(root):
+            return (sorted(p.name for p in
+                           (root / "rgb" / "merged").glob("*.tif"))
+                    + sorted(p.name for p in
+                             (root / "nDSM" / "merged").glob("*.tif")))
+
+        mh_strips = _strips(mh)
+        sh_strips = _strips(sh)
         assert mh_strips == sh_strips and len(mh_strips) == 2
         # the strip was tiled and predicted by exactly one host
         strip_stem = next(n for n in mh_strips
@@ -147,7 +154,10 @@ class TestCrossHostSeams:
         preprocess_files(config)
         # host 0 owns the left image; its right-neighbor lives on host 1,
         # yet both strips must be generated (by host 0, the primary's owner)
-        strips = sorted(p.name for p in (root / "merged").glob("*.tif"))
+        strips = (sorted(p.name for p in
+                         (root / "rgb" / "merged").glob("*.tif"))
+                  + sorted(p.name for p in
+                           (root / "nDSM" / "merged").glob("*.tif")))
         assert len(strips) == 2
         # and tiled by host 0 alongside its base slice
         tiled = {p.stem for p in (root / "tiles").glob("*.json")}

@@ -38,13 +38,18 @@ def clean_crowns(crowns: Sequence[np.ndarray],
     'box').  Mirrors reference ``segment_annotations.py:55-113``: best-IoU
     crown per box; clip-to-box when only a weak match exists; box fallback.
     """
+    # bbox prefilter: rasterized polygon_iou costs a grid per pair; only
+    # crowns whose bbox overlaps the annotation box can have IoU > 0
+    crown_bounds = [polygon_bounds(c) if len(c) >= 3 else None for c in crowns]
     out: List[np.ndarray] = []
     flags: List[str] = []
     for box in boxes:
         ring_box = box_to_ring(box)
+        bx0, by0, bx1, by1 = box
         best_iou, best = 0.0, None
-        for crown in crowns:
-            if len(crown) < 3:
+        for crown, cb in zip(crowns, crown_bounds):
+            if cb is None or cb[0] >= bx1 or cb[2] <= bx0 \
+                    or cb[1] >= by1 or cb[3] <= by0:
                 continue
             iou = polygon_iou(crown, ring_box)
             if iou > best_iou:

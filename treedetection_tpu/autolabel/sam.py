@@ -60,9 +60,15 @@ class SamMaskGenerator:
                                   device=self._predictor.device)
         t_boxes = self._predictor.transform.apply_boxes_torch(
             t_boxes, img.shape[:2])
-        masks, _, _ = self._predictor.predict_torch(
+        masks, scores, _ = self._predictor.predict_torch(
             point_coords=None, point_labels=None, boxes=t_boxes,
             multimask_output=self._multimask)
+        if self._multimask:
+            # take each box's highest-predicted-IoU hypothesis; index 0 is
+            # SAM's smallest "subpart" mask, not the best one
+            best = scores.argmax(dim=1)
+            masks = masks[torch.arange(masks.shape[0]), best]
+            return masks.cpu().numpy().astype(bool)
         return masks[:, 0].cpu().numpy().astype(bool)
 
 

@@ -107,10 +107,22 @@ def generate_voronoi_labels(height_path: str, out_gpkg: str,
     cell_ids = np.full((h, w), -1, dtype=np.int32)
     cell_ids[canopy_rc[:, 0], canopy_rc[:, 1]] = owner
 
+    # group canopy pixels by owning seed ONCE (argsort + slice): a per-seed
+    # np.where(cell_ids == s) rescans the whole raster per seed — O(S * H*W),
+    # hours on county mosaics with ~50k seeds
+    order = np.argsort(owner, kind="stable")
+    sorted_rc = canopy_rc[order]
+    sorted_owner = owner[order]
+    uniq, starts = np.unique(sorted_owner, return_index=True)
+    ends = np.append(starts[1:], len(sorted_owner))
+    cell_pixels = {int(s): sorted_rc[a:b]
+                   for s, a, b in zip(uniq, starts, ends)}
+
     for s in range(len(seed_rc)):
-        rows, cols = np.where(cell_ids == s)
-        if len(rows) < min_cell_pixels:
+        rc = cell_pixels.get(s)
+        if rc is None or len(rc) < min_cell_pixels:
             continue
+        rows, cols = rc[:, 0], rc[:, 1]
         # connected component containing the seed (reference keeps the
         # seed-connected blob per cell, :112-165)
         r0, r1 = rows.min(), rows.max() + 1

@@ -108,8 +108,20 @@ def main(argv=None) -> int:
     if args.command == "bench":
         import runpy
         import os
-        bench = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "bench.py")
+        # bench.py ships at the repo root, not inside the package — present
+        # in a source checkout only.  Check cwd as a fallback and fail with
+        # a pointer instead of runpy's bare FileNotFoundError.
+        candidates = [
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "bench.py"),
+            os.path.join(os.getcwd(), "bench.py"),
+        ]
+        bench = next((p for p in candidates if os.path.exists(p)), None)
+        if bench is None:
+            print("bench.py not found (it lives at the repository root, "
+                  "not in the installed package); run from a source "
+                  "checkout or pass its directory as cwd", file=sys.stderr)
+            return 2
         runpy.run_path(bench, run_name="__main__")
         return 0
 

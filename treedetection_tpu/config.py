@@ -137,7 +137,21 @@ def set_device_configuration(config: Dict[str, Any], raw_device) -> None:
     try:
         devices = jax.devices(platform) if platform else jax.devices()
     except RuntimeError:
-        devices = jax.devices("cpu")
+        # "tpu" requested but the chip registers under a vendor platform
+        # name (e.g. "axon" on relayed v5e): any non-cpu accelerator
+        # satisfies the request.  Only fall back to CPU when there is no
+        # accelerator at all — and say so, since silently running a
+        # county-scale job on CPU (and skipping the TPU-input-size crash
+        # gate) is exactly what the user asked to prevent.
+        accel = [d for d in jax.devices() if d.platform != "cpu"]
+        if platform == "tpu" and accel:
+            devices = accel
+        else:
+            import warnings
+            warnings.warn(
+                f"device: {raw_device!r} requested but no such platform is "
+                f"available; falling back to CPU")
+            devices = jax.devices("cpu")
     if n_devices is not None:
         devices = devices[:n_devices]
     config["device"] = devices[0].platform
@@ -247,9 +261,13 @@ def get_config(config_path: str) -> Tuple[Dict[str, Any], Config]:
             return None
         return p if os.path.isabs(p) else os.path.normpath(os.path.join(base, p))
 
+    # NOTE: merged_path is deliberately NOT resolved — it is a bare
+    # subdirectory NAME joined under each image directory (detection.py,
+    # merging.py), not a path; resolving it to an absolute path would make
+    # os.path.join discard the image directory and lose every seam strip.
     for key in ("image_directory", "height_data_path", "combined_model",
                 "urban_model", "forrest_model", "forrest_outline",
-                "output_directory", "tiles_path", "merged_path", "continue_path"):
+                "output_directory", "tiles_path", "continue_path"):
         if config.get(key):
             config[key] = _resolve(config[key])
     if config.get("exclude_files"):
@@ -271,6 +289,12 @@ def get_config(config_path: str) -> Tuple[Dict[str, Any], Config]:
     config["continue"] = config.get(
         "continue_path", os.path.join(config.get("output_directory", "./output"), "continue.yml"))
 
+    # the reference CRASHES when the NDVI gates are absent (SURVEY §5 config
+    # gotcha); we default them instead, but that changes postprocess filters
+    # for migrated reference configs — warn so the assumption is visible
+    missing_ndvi = [k for k in ("ndvi_mean_threshold", "ndvi_var_threshold")
+                    if k not in config]
+
     for key, default in _DEFAULTS:
         config[key] = config.get(key, default)
 
@@ -282,6 +306,11 @@ def get_config(config_path: str) -> Tuple[Dict[str, Any], Config]:
 
     config["logger"] = setup_logging(
         os.path.join(config["output_directory"], "logs"), config["debug"])
+    if missing_ndvi:
+        config["logger"].warning(
+            f"Config keys {missing_ndvi} not set; defaulting to the "
+            f"example-config values (0.1). The reference requires these "
+            f"explicitly — review the NDVI gates for your imagery.")
 
     config_obj = Config()
     config_obj._load_into_config(config)

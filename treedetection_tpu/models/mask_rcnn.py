@@ -42,6 +42,9 @@ class MaskRCNNConfig:
     max_detections: int = 100
     mask_pool: int = 14
     box_pool: int = 7
+    # detectron2 DefaultAnchorGenerator defaults; one size per FPN level
+    anchor_sizes: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
     bf16: bool = True
     remat: bool = False  # rematerialize backbone blocks (training memory)
     # TPU-optimized approximate top-k (jax.lax.approx_max_k) for RPN levels
@@ -78,7 +81,8 @@ class MaskRCNN(nn.Module):
         c = self.cfg
         self.backbone = ResNetFPN(depth=c.depth, dtype=c.dtype,
                                   remat=c.remat, name="backbone")
-        self.rpn_head = RPNHead(num_anchors=3, dtype=c.dtype, name="rpn_head")
+        self.rpn_head = RPNHead(num_anchors=len(c.anchor_ratios),
+                                dtype=c.dtype, name="rpn_head")
         self.box_head = BoxHead(num_classes=c.num_classes, dtype=c.dtype,
                                 name="box_head")
         self.mask_head = MaskHead(num_classes=c.num_classes, dtype=c.dtype,
@@ -86,7 +90,9 @@ class MaskRCNN(nn.Module):
         # anchors generated on-device from iota at trace time — NOT
         # precomputed constants (which embedded ~130 MB of literals into
         # every executable; see anchors.grid_anchors_jnp)
-        self._anchors = pyramid_anchors_jnp(c.input_size, FPN_STRIDES)
+        self._anchors = pyramid_anchors_jnp(
+            c.input_size, FPN_STRIDES,
+            sizes=c.anchor_sizes, ratios=c.anchor_ratios)
 
     def __call__(self, images: jnp.ndarray) -> ModelOutput:
         c = self.cfg

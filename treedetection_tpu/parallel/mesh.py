@@ -17,7 +17,15 @@ def make_mesh(config: Optional[Dict[str, Any]] = None,
     """1-D mesh over the available devices (tile inference is data-parallel;
     SURVEY §2.4: DP is the only parallelism with a counterpart in this
     workload — TP/PP/SP/EP are N/A for a conv detector on independent tiles)."""
-    devs = list(devices) if devices is not None else list(jax.devices())
+    if devices is not None:
+        devs = list(devices)
+    elif config and config.get("devices"):
+        # honor the YAML `device:` selection resolved by
+        # config.set_device_configuration (e.g. device: cpu for debugging
+        # beside a busy TPU) instead of whatever the default backend is
+        devs = list(config["devices"])
+    else:
+        devs = list(jax.devices())
     shape = None
     if config and config.get("mesh_shape"):
         ms = config["mesh_shape"]

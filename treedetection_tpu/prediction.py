@@ -173,14 +173,24 @@ class Predictor:
         self.config = config
         self.logger = config.get("logger")
         spec = model_spec(config)
+        # the YAML `device:` selection (config.set_device_configuration);
+        # committed-arg placement below routes the whole jit onto it
+        self.devices = list(config.get("devices") or jax.devices())
+        on_cpu = self.devices[0].platform == "cpu"
         self.cfg = model_cfg or MaskRCNNConfig(
             depth=spec.depth,
+            num_classes=spec.num_classes,
             input_size=spec.input_size,
             score_threshold=spec.score_threshold,
+            nms_threshold=spec.nms_threshold,
             rpn_pre_nms_topk=spec.pre_nms_topk,
             rpn_post_nms_topk=spec.post_nms_topk,
+            rpn_nms_threshold=spec.rpn_nms_threshold,
             max_detections=spec.max_detections,
-            bf16=spec.bf16 and jax.default_backend() != "cpu",
+            mask_pool=spec.mask_resolution // 2,
+            anchor_sizes=spec.anchor_sizes,
+            anchor_ratios=spec.anchor_ratios,
+            bf16=spec.bf16 and not on_cpu,
             rpn_approx_topk_from=spec.rpn_approx_topk_from,
         )
         self.model = MaskRCNN(self.cfg)
@@ -216,7 +226,7 @@ class Predictor:
         # no collectives needed for independent tiles.  The batch size is
         # rounded up to a mesh multiple so shards are equal.
         self.mesh = None
-        n_dev = len(jax.devices())
+        n_dev = len(self.devices)
         if n_dev > 1 or config.get("mesh_shape"):
             from treedetection_tpu.parallel.mesh import make_mesh
             mesh = make_mesh(config)
@@ -230,11 +240,11 @@ class Predictor:
             self.params = jax.device_put(
                 self.params, NamedSharding(self.mesh, P()))
         else:
-            # explicit device: random-init fallback params are committed to
-            # CPU (create_model pins init there) and device_put without a
-            # device preserves committed placement — as jit ARGS that would
-            # drag the whole forward onto CPU
-            self.params = jax.device_put(self.params, jax.devices()[0])
+            # explicit device (the YAML-selected one): random-init fallback
+            # params are committed to CPU (create_model pins init there) and
+            # device_put without a device preserves committed placement — as
+            # jit ARGS that would drag the whole forward onto CPU
+            self.params = jax.device_put(self.params, self.devices[0])
 
         # Per-window-geometry compile cache: the jitted program depends on the
         # padded tile size, which is canonicalized to a multiple of 8 so pixel
@@ -495,11 +505,15 @@ class Predictor:
                 written += 1
             stats["flush_s"] += _time.time() - t0
 
-        stage = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sharding = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
             stage = lambda a: jax.device_put(a, sharding)
+        else:
+            # explicit target so the batch follows the YAML-selected device
+            # (params are committed there; a default-device upload would
+            # force a cross-device transfer per batch)
+            stage = lambda a: jax.device_put(a, self.devices[0])
 
         from treedetection_tpu.utils.profiling import profile_trace
         with profile_trace(self.config.get("profile_dir")), \
@@ -535,7 +549,7 @@ class Predictor:
                         batch_arrays.append(np.zeros((pad, pad, 3),
                                                      dtype=np.uint8))
                     stacked = np.stack(batch_arrays)
-                    batch = stage(stacked) if stage else jnp.asarray(stacked)
+                    batch = stage(stacked)
                     device_out = run_batch(batch)
                     pending.append((batch_items, device_out, sizes, batch))
                     # depth-2 pipeline: keep TWO batches in flight so the

@@ -27,7 +27,7 @@ class StageTimer:
                 self.logger.debug(f"{name} took {dt:.2f}s")
 
     def summary(self) -> str:
-        total = sum(self.spans.values())
+        total = sum(self.spans.values()) or 1e-12  # no spans yet -> 0%
         lines = [f"  {k}: {v:.2f}s ({v / total * 100:.0f}%)"
                  for k, v in sorted(self.spans.items(), key=lambda kv: -kv[1])]
         return f"Stage timing (total {total:.2f}s):\n" + "\n".join(lines)
