@@ -166,10 +166,13 @@ def main() -> int:
     # persistent compilation cache entries small.
     import functools
 
+    from treedetection_tpu.ops.pack import pack_model_output, unpack_model_output
+
     @jax.jit
     def _forward(p, tiles):
         x = normalize_bgr(tiles)
-        return model.apply(p, x)
+        # single-buffer transport (ops.pack): ONE fetch round trip per batch
+        return pack_model_output(model.apply(p, x))
 
     forward = functools.partial(_forward, params)
 
@@ -280,7 +283,8 @@ def main() -> int:
     stream_time = time.time() - t_stream0
     device_time = stream_time / iters
 
-    def polygonize(out_np):
+    def polygonize(packed_np):
+        out_np = unpack_model_output(packed_np, cfg.max_detections)
         n_polys = 0
         for b in range(batch):
             for d in range(out_np.scores.shape[1]):

@@ -348,6 +348,41 @@ class TestPatchROIAlign:
         assert out.roi_overflow.shape == (1,)
         assert out.roi_overflow.dtype == jnp.int32
 
+    def test_packed_transport_roundtrip_bit_exact(self):
+        """ops.pack single-buffer transport: pack on device, unpack on host,
+        every leaf bit-exact — including NaN/inf/-0 payloads (bitcast, not a
+        numeric cast)."""
+        import jax
+        from treedetection_tpu.models.mask_rcnn import ModelOutput
+        from treedetection_tpu.ops.pack import (
+            pack_model_output, packed_width, unpack_model_output)
+        rng = np.random.default_rng(7)
+        B, D, R = 3, 7, 28
+        boxes = (rng.normal(size=(B, D, 4)) * 100).astype(np.float32)
+        boxes[0, 0] = [np.nan, np.inf, -np.inf, -0.0]
+        out = ModelOutput(
+            boxes=jnp.asarray(boxes),
+            scores=jnp.asarray(rng.uniform(size=(B, D)).astype(np.float32)),
+            classes=jnp.asarray(rng.integers(0, 5, (B, D)), dtype=jnp.int32),
+            valid=jnp.asarray(rng.integers(0, 2, (B, D)).astype(bool)),
+            masks=jnp.asarray(rng.integers(0, 256, (B, D, R, R)),
+                              dtype=jnp.uint8),
+            roi_overflow=jnp.asarray(rng.integers(0, 100, (B,)),
+                                     dtype=jnp.int32))
+        packed = jax.jit(pack_model_output)(out)
+        assert packed.dtype == jnp.uint8
+        assert packed.shape == (B, packed_width(D, R))
+        got = unpack_model_output(np.asarray(packed), D, R)
+        np.testing.assert_array_equal(
+            np.asarray(out.boxes).view(np.uint32),
+            got.boxes.view(np.uint32))  # bit-level (NaN-safe) comparison
+        np.testing.assert_array_equal(np.asarray(out.scores), got.scores)
+        np.testing.assert_array_equal(np.asarray(out.classes), got.classes)
+        np.testing.assert_array_equal(np.asarray(out.valid), got.valid)
+        np.testing.assert_array_equal(np.asarray(out.masks), got.masks)
+        np.testing.assert_array_equal(np.asarray(out.roi_overflow),
+                                      got.roi_overflow)
+
     def test_pallas_kernel_interpret_matches_gather(self):
         """CPU coverage for the Pallas patch-DMA kernel (ADVICE r2): the TPU
         interpreter emulates the async-copy/semaphore semantics, so the DMA

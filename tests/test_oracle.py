@@ -375,7 +375,8 @@ def test_shortest_edge_path_parity(tmp_path):
 
     rng = np.random.default_rng(31)
     raw = rng.integers(0, 255, (1, pad, pad, 3), dtype=np.uint8)
-    got = fn(jnp.asarray(raw))
+    from treedetection_tpu.ops.pack import unpack_model_output
+    got = unpack_model_output(np.asarray(fn(jnp.asarray(raw))), 20)
 
     # oracle twin: BGR + mean subtract (numpy), torch bilinear resize
     # (half-pixel centers == ops.image.resize_bilinear), zero-pad to S

@@ -67,6 +67,73 @@ class TestStitching:
         assert srs == 25832
         assert {round(p["Confidence_score"], 1) for p in props} == {0.9, 0.7}
 
+    def test_eager_sink_matches_file_path(self, tmp_path):
+        """The Predictor's in-memory stitch sink must produce a GPKG
+        identical (same crowns, same order) to the file-based re-parse."""
+        root = tmp_path / "pred"
+        d = root / "img"
+        d.mkdir(parents=True)
+        rng = np.random.default_rng(3)
+        for k, (tx, ty) in enumerate([(100, 200), (150, 200)]):
+            tile_id = f"img_{tx}_{ty}_50_20_25832"
+            crowns = []
+            for c in range(5):
+                ring = circle(tx + rng.uniform(-10, 60),
+                              ty + rng.uniform(-10, 60),
+                              rng.uniform(2, 6), n=40)
+                crowns.append((ring, float(rng.uniform(0.3, 1.0))))
+            write_prediction_json(str(d / f"Prediction_{tile_id}.json"), crowns)
+
+        out_file = str(tmp_path / "file.gpkg")
+        n_file = stitching.stitch_image(str(d), out_file, 0.2)
+
+        # build the sink exactly as the Predictor does: per-tile stitch_rings
+        # on the in-memory rings at flush time
+        tiles = {}
+        for f in sorted(d.glob("Prediction_*.json")):
+            with open(f) as fh:
+                data = json.load(fh)
+            rings = [np.asarray(c["polygon_coords"][0], dtype=np.float64)
+                     .reshape(-1, 2) for c in data]
+            scores = [float(c["score"]) for c in data]
+            tile_id = f.stem.replace("Prediction_", "")
+            tiles[f.name] = stitching.stitch_rings(tile_id, rings, scores, 0.2)
+        config = {"logger": None, "simplify_tolerance": 0.2,
+                  "_stitch_cache": {
+                      str(d): {"tolerance": 0.2, "tiles": tiles}}}
+        outputs = stitching.process_and_stitch_predictions(
+            config, str(root), ["img.tif"])
+        assert os.path.exists(outputs[0])
+        assert config["_stitch_cache"] == {}  # consumed
+
+        g_file, p_file, srs_file = read_gpkg(out_file)
+        g_mem, p_mem, srs_mem = read_gpkg(outputs[0])
+        assert n_file == len(g_mem) > 0
+        assert srs_file == srs_mem
+        assert [p["Confidence_score"] for p in p_file] \
+            == [p["Confidence_score"] for p in p_mem]
+        for a, b in zip(g_file, g_mem):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_eager_sink_tolerance_mismatch_falls_back(self, tmp_path):
+        """A sink built under a different simplify tolerance is ignored —
+        the file-based path re-stitches with the configured tolerance."""
+        root = tmp_path / "pred"
+        d = root / "img"
+        d.mkdir(parents=True)
+        write_prediction_json(
+            str(d / "Prediction_img_100_200_50_20_25832.json"),
+            [(circle(125, 225, 5, n=40), 0.9)])
+        config = {"logger": None, "simplify_tolerance": 0.5,
+                  "_stitch_cache": {
+                      str(d): {"tolerance": 0.2,
+                               "tiles": {"Prediction_img_100_200_50_20_25832"
+                                         ".json": ([], [])}}}}
+        outputs = stitching.process_and_stitch_predictions(
+            config, str(root), ["img.tif"])
+        geoms, _, _ = read_gpkg(outputs[0])
+        assert len(geoms) == 1  # stale empty sink was NOT trusted
+
     def test_stitch_stage_survives_one_bad_image(self, tmp_path, monkeypatch):
         """One failing image folder must not abort the stage or lose the
         manifest for completed stems (keep-alive parity with the reference's

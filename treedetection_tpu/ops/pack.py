@@ -1,0 +1,77 @@
+"""Single-buffer device->host transport for detection outputs.
+
+The Predictor's flush fetches a 6-leaf ``ModelOutput`` per batch; on
+relay-backed devices every leaf costs a full host<->device round trip
+(~31 ms measured on the dev tunnel), so the fetch spends ~5x longer in
+RTTs than in bytes.  ``pack_model_output`` bitcasts every leaf to uint8
+and concatenates them into ONE (B, bytes) buffer on device — bit-exact,
+one round trip — and ``unpack_model_output`` restores numpy views on the
+host.
+
+XLA ``bitcast_convert_type`` to a narrower type appends a minor dimension
+whose index 0 holds the LEAST significant bits (HLO BitcastConvert is
+defined on the logical value, not memory layout), which matches numpy's
+``.view`` on little-endian hosts — the round trip is platform-independent.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def packed_width(max_detections: int, mask_resolution: int = 28) -> int:
+    """Bytes per batch row: boxes 16D + scores 4D + classes 4D + valid D +
+    masks R*R*D + roi_overflow 4."""
+    d = max_detections
+    return d * (16 + 4 + 4 + 1 + mask_resolution * mask_resolution) + 4
+
+
+def pack_model_output(out) -> jnp.ndarray:
+    """ModelOutput -> (B, packed_width) uint8, bit-exact."""
+    B, D = out.scores.shape
+
+    def as_bytes(a, want_dtype):
+        return jax.lax.bitcast_convert_type(
+            a.astype(want_dtype), jnp.uint8).reshape(B, -1)
+
+    parts = [
+        as_bytes(out.boxes, jnp.float32),          # 16 D
+        as_bytes(out.scores, jnp.float32),         # 4 D
+        as_bytes(out.classes, jnp.int32),          # 4 D
+        out.valid.astype(jnp.uint8).reshape(B, D),  # D
+        out.masks.reshape(B, -1),                  # R*R*D (uint8 already)
+        as_bytes(out.roi_overflow, jnp.int32),     # 4
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+def unpack_model_output(buf: np.ndarray, max_detections: int,
+                        mask_resolution: int = 28) -> SimpleNamespace:
+    """(B, packed_width) uint8 host array -> numpy ModelOutput twin."""
+    buf = np.asarray(buf)
+    B = buf.shape[0]
+    D, R = max_detections, mask_resolution
+    assert buf.shape[1] == packed_width(D, R), \
+        f"packed buffer width {buf.shape[1]} != expected {packed_width(D, R)}"
+    o = 0
+
+    def take(n):
+        nonlocal o
+        part = np.ascontiguousarray(buf[:, o:o + n])
+        o += n
+        return part
+
+    boxes = take(16 * D).view(np.float32).reshape(B, D, 4)
+    scores = take(4 * D).view(np.float32).reshape(B, D)
+    classes = take(4 * D).view(np.int32).reshape(B, D)
+    valid = take(D).astype(bool)
+    masks = take(R * R * D).reshape(B, D, R, R)
+    roi_overflow = take(4).view(np.int32).reshape(B)
+    return SimpleNamespace(boxes=boxes, scores=scores, classes=classes,
+                           valid=valid, masks=masks,
+                           roi_overflow=roi_overflow)

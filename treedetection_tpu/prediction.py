@@ -167,6 +167,10 @@ class Predictor:
     ``predictor(tifpath, tile_metadata_path, output_dir, exclude_flag)``.
     """
 
+    # eager stitch sink for the in-flight image (set per __call__); None
+    # disables sink accumulation (e.g. direct _write_tile_predictions use)
+    _stitch_acc: Optional[Dict[str, Any]] = None
+
     def __init__(self, config: Dict[str, Any], model_path: Optional[str] = None,
                  model_cfg: Optional[MaskRCNNConfig] = None):
         from treedetection_tpu.config import model_spec
@@ -320,7 +324,10 @@ class Predictor:
             if content < size:  # shortest-edge: zero-pad to the static canvas
                 x = jnp.pad(x, ((0, 0), (0, size - content),
                                 (0, size - content), (0, 0)))
-            return model.apply(p, x)
+            # single-buffer transport: one host fetch round trip per batch
+            # instead of one per ModelOutput leaf (ops.pack docstring)
+            from treedetection_tpu.ops.pack import pack_model_output
+            return pack_model_output(model.apply(p, x))
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -375,12 +382,31 @@ class Predictor:
         if not items:
             return 0
         os.makedirs(output_dir, exist_ok=True)
+        # Eager stitch sink: the per-tile stitch transform (simplify +
+        # shrunk-box filter) runs at flush time on rings already in memory,
+        # overlapped with device compute; the stitch stage then writes the
+        # GPKG straight from this cache instead of re-parsing 400 JSONs.
+        # Bounded per-run (config-scoped), file fallback covers evictions.
+        self._stitch_acc = ({} if self.config.get("eager_stitch", True)
+                            else None)
         src = GeoTiff(tifpath)
         try:
-            return self._predict_image(src, items, tifpath, output_dir)
+            n = self._predict_image(src, items, tifpath, output_dir)
         finally:
             # any failure in the stream loop must not leak the mmap/handle
             src.close()
+        if self._stitch_acc is not None:
+            from collections import OrderedDict
+            cache = self.config.setdefault("_stitch_cache", OrderedDict())
+            cache[output_dir] = {
+                "tolerance": self.config.get("simplify_tolerance", 0.2),
+                "tiles": self._stitch_acc,
+            }
+            cap = int(self.config.get("stitch_cache_images", 8))
+            while len(cache) > cap:  # oldest images fall back to file stitch
+                cache.popitem(last=False)
+            self._stitch_acc = None
+        return n
 
     def _predict_image(self, src: GeoTiff, items: List[Dict[str, Any]],
                        tifpath: str, output_dir: str) -> int:
@@ -459,7 +485,8 @@ class Predictor:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
         workers = max(int(self.config.get("num_workers") or 8), 1)
-        prefetch = 2 * bs
+        depth = max(int(self.config.get("prefetch_batches", 2)), 1)
+        prefetch = depth * bs
         work = iter(zip(items, windows))
 
         def flush(batch_items, device_out, sizes, batch_input):
@@ -489,6 +516,9 @@ class Predictor:
                     _time.sleep(60)
                     jax.clear_caches()
                     device_out = run_batch(batch_input)
+            from treedetection_tpu.ops.pack import unpack_model_output
+            out = unpack_model_output(out, self.cfg.max_detections,
+                                      self.cfg.mask_pool * 2)
             t1 = _time.time()
             stats["fetch_s"] = stats.get("fetch_s", 0.0) + (t1 - t0)
             # the batched pooler's exact-gather budget is batch-wide
@@ -552,12 +582,13 @@ class Predictor:
                     batch = stage(stacked)
                     device_out = run_batch(batch)
                     pending.append((batch_items, device_out, sizes, batch))
-                    # depth-2 pipeline: keep TWO batches in flight so the
-                    # fetch of batch k overlaps batch k+1's compute AND the
-                    # dispatch round-trip (on relay backends the RTT alone
-                    # is ~30 ms); flush (fetch+polygonize+write) runs while
+                    # depth-N pipeline (``prefetch_batches``, default 2):
+                    # keep N batches in flight so the fetch of batch k
+                    # overlaps batch k+1's compute AND the dispatch round
+                    # trip (on relay backends the RTT alone is ~30 ms);
+                    # flush (fetch+polygonize+write+stitch sink) runs while
                     # the newest batch computes
-                    if len(pending) > 2:
+                    if len(pending) > depth:
                         flush(*pending.popleft())
                     batch_items, batch_arrays, sizes = [], [], []
                     if self.logger and n >= 20 and done % max(1, n // 20) == 0:
@@ -591,6 +622,8 @@ class Predictor:
         transform = Affine(*item["transform"])
         epsg = item["crs"]
         evaluations = []
+        sink_rings: List[np.ndarray] = []
+        sink_scores: List[float] = []
         for d in range(len(scores)):
             if not valid[d] or scores[d] <= 0:
                 continue
@@ -622,9 +655,17 @@ class Predictor:
                     "score": float(scores[d]),
                     "polygon_coords": [list(zip(gx.tolist(), gy.tolist()))],
                 })
-        out_file = os.path.join(
-            output_dir, f"Prediction_{os.path.basename(item['tile_id'])}.json")
+                if self._stitch_acc is not None:
+                    sink_rings.append(np.column_stack([gx, gy]))
+                    sink_scores.append(float(scores[d]))
+        name = f"Prediction_{os.path.basename(item['tile_id'])}.json"
+        out_file = os.path.join(output_dir, name)
         tmp = out_file + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(evaluations, fh)
         os.replace(tmp, out_file)
+        if self._stitch_acc is not None:
+            from treedetection_tpu.stitching import stitch_rings
+            self._stitch_acc[name] = stitch_rings(
+                item["tile_id"], sink_rings, sink_scores,
+                self.config.get("simplify_tolerance", 0.2))

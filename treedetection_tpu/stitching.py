@@ -47,6 +47,37 @@ def shrunk_tile_box(tile_id: str, shift: float = 0.0
             minx + width + buffer - shift, miny + width + buffer - shift)
 
 
+def stitch_rings(tile_id: str, rings: List[np.ndarray], scores: List[float],
+                 simplify_tolerance: float, shift: float = 1.0
+                 ) -> Tuple[List[np.ndarray], List[float]]:
+    """The per-tile stitch transform on in-memory rings: simplify each crown
+    and keep only those fully within the tile's shrunk box.  Shared by the
+    file-based path (``stitch_tile_file``) and the Predictor's eager stitch
+    sink so both produce identical crowns."""
+    bminx, bminy, bmaxx, bmaxy = shrunk_tile_box(tile_id, shift)
+    crowns: List[np.ndarray] = []
+    kept_scores: List[float] = []
+    for ring, score in zip(rings, scores):
+        if len(ring) < 4:
+            continue
+        if simplify_tolerance > 0:
+            ring = simplify_polygon(ring, simplify_tolerance)
+        crowns.append(ring)
+        kept_scores.append(float(score))
+    if not crowns:
+        return [], []
+
+    # vectorized within-box filter over all crowns of the tile
+    keep = []
+    for ring in crowns:
+        r = ensure_open(ring)
+        keep.append(r[:, 0].min() >= bminx and r[:, 0].max() <= bmaxx and
+                    r[:, 1].min() >= bminy and r[:, 1].max() <= bmaxy)
+    kept = [c for c, k in zip(crowns, keep) if k]
+    kept_scores = [s for s, k in zip(kept_scores, keep) if k]
+    return kept, kept_scores
+
+
 def stitch_tile_file(pred_file: str, simplify_tolerance: float,
                      shift: float = 1.0
                      ) -> Tuple[List[np.ndarray], List[float]]:
@@ -54,9 +85,8 @@ def stitch_tile_file(pred_file: str, simplify_tolerance: float,
     with open(pred_file) as fh:
         data = json.load(fh)
     tile_id = Path(pred_file).stem.replace("Prediction_", "")
-    bminx, bminy, bmaxx, bmaxy = shrunk_tile_box(tile_id, shift)
 
-    crowns: List[np.ndarray] = []
+    rings: List[np.ndarray] = []
     scores: List[float] = []
     for crown in data:
         coords = crown.get("polygon_coords")
@@ -72,24 +102,9 @@ def stitch_tile_file(pred_file: str, simplify_tolerance: float,
             ring = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
         else:
             continue
-        if len(ring) < 4:
-            continue
-        if simplify_tolerance > 0:
-            ring = simplify_polygon(ring, simplify_tolerance)
-        crowns.append(ring)
+        rings.append(ring)
         scores.append(float(crown.get("score", 0.0)))
-    if not crowns:
-        return [], []
-
-    # vectorized within-box filter over all crowns of the tile
-    keep = []
-    for ring in crowns:
-        r = ensure_open(ring)
-        keep.append(r[:, 0].min() >= bminx and r[:, 0].max() <= bmaxx and
-                    r[:, 1].min() >= bminy and r[:, 1].max() <= bmaxy)
-    kept = [c for c, k in zip(crowns, keep) if k]
-    kept_scores = [s for s, k in zip(scores, keep) if k]
-    return kept, kept_scores
+    return stitch_rings(tile_id, rings, scores, simplify_tolerance, shift)
 
 
 def stitch_image(pred_dir: str, out_gpkg: str, simplify_tolerance: float = 0.2,
@@ -117,19 +132,50 @@ def stitch_image(pred_dir: str, out_gpkg: str, simplify_tolerance: float = 0.2,
     return len(all_crowns)
 
 
+def stitch_image_cached(tiles: Dict[str, Tuple[List[np.ndarray], List[float]]],
+                        out_gpkg: str, srs_id: int = 25832) -> int:
+    """Write a per-image GPKG from the Predictor's eager stitch sink — the
+    per-tile simplify + shrunk-box transform already ran at flush time
+    (overlapped with device compute).  Tiles are assembled in sorted
+    ``Prediction_<tile_id>.json`` filename order so the crown order is
+    identical to the file-based ``stitch_image``."""
+    all_crowns: List[np.ndarray] = []
+    all_scores: List[float] = []
+    names = sorted(tiles.keys())
+    for name in names:
+        crowns, scores = tiles[name]
+        all_crowns.extend(crowns)
+        all_scores.extend(scores)
+    try:
+        if names:
+            srs_id = filename_geoinfo(Path(names[0]).stem)[4]
+    except (ValueError, IndexError):
+        pass
+    write_gpkg(out_gpkg, all_crowns,
+               [{"Confidence_score": s} for s in all_scores], srs_id=srs_id)
+    return len(all_crowns)
+
+
 def process_and_stitch_predictions(config: Dict[str, Any],
                                    prediction_root: str,
                                    image_names: List[str],
                                    suffix: str = "") -> List[str]:
     """Stitch every image folder under ``prediction_root`` with resume
-    (reference ``helpers.py:556-600``).  Returns the per-image GPKG paths."""
+    (reference ``helpers.py:556-600``).  Returns the per-image GPKG paths.
+
+    Images whose tile predictions were fully produced this run consume the
+    Predictor's in-memory stitch sink (no JSON re-parse, the per-tile
+    transform already overlapped device compute); everything else — resumed
+    runs, foreign prediction folders — takes the file-based path."""
     logger = config.get("logger")
     tolerance = config.get("simplify_tolerance", 0.2)
     done = set(load_stitching_recovery_data(prediction_root))
     outputs: List[str] = []
     completed = list(done)
+    stitch_cache = config.get("_stitch_cache") or {}
 
     todo: List[Tuple[str, str, str]] = []
+    cached: List[Tuple[str, str, Dict]] = []
     for name in image_names:
         stem = Path(name).stem
         pred_dir = os.path.join(prediction_root, stem)
@@ -137,11 +183,28 @@ def process_and_stitch_predictions(config: Dict[str, Any],
         outputs.append(out_gpkg)
         if stem in done and os.path.exists(out_gpkg):
             continue
+        entry = stitch_cache.pop(pred_dir, None)
+        if entry is not None and entry.get("tolerance") == tolerance:
+            cached.append((stem, out_gpkg, entry["tiles"]))
+            continue
         if not os.path.isdir(pred_dir):
             if logger:
                 logger.warning(f"No predictions folder for {name}")
             continue
         todo.append((stem, pred_dir, out_gpkg))
+
+    for i, (stem, out_gpkg, tiles) in enumerate(cached):
+        try:
+            n = stitch_image_cached(tiles, out_gpkg)
+        except (OSError, ValueError, KeyError, TypeError) as exc:
+            if logger:
+                logger.error(f"Stitching (cached) failed for {stem}: {exc}")
+            continue
+        completed.append(stem)
+        save_stitching_recovery_data(prediction_root, completed)
+        if logger:
+            logger.info(f"Stitched {n} crowns for {stem} "
+                        f"({i + 1}/{len(cached)}, eager)")
 
     # file-level thread pool (reference used max_workers=50,
     # ``helpers.py:556-580``); each image writes its own GPKG so the only
