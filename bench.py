@@ -106,18 +106,26 @@ def _ensure_live_backend(timeout_s: int = 300) -> None:
     if os.environ.get("_TD_BENCH_CPU_FALLBACK"):
         return
     timeout_s = int(os.environ.get("TD_BENCH_PROBE_TIMEOUT", timeout_s))
+    retries = int(os.environ.get("TD_BENCH_PROBE_RETRIES", 2))
     env = dict(os.environ)
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.default_backend())"],
-            env=env, timeout=timeout_s, capture_output=True, text=True)
-        if out.returncode == 0 and out.stdout.strip():
-            return  # backend initializes fine
-        reason = (out.stderr or "").strip().splitlines()[-1:] or ["?"]
-        reason = reason[0]
-    except subprocess.TimeoutExpired:
-        reason = f"backend init hung > {timeout_s}s (tunnel outage)"
+    reason = "?"
+    for attempt in range(retries + 1):
+        if attempt:
+            print(f"bench: probe retry {attempt}/{retries} in 180s ({reason})",
+                  file=sys.stderr)
+            import time as _t
+            _t.sleep(180)
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                env=env, timeout=timeout_s, capture_output=True, text=True)
+            if out.returncode == 0 and out.stdout.strip():
+                return  # backend initializes fine
+            reason = (out.stderr or "").strip().splitlines()[-1:] or ["?"]
+            reason = reason[0]
+        except subprocess.TimeoutExpired:
+            reason = f"backend init hung > {timeout_s}s (tunnel outage)"
     if os.environ.get("TD_BENCH_REQUIRE_TPU") == "1":
         print(f"bench: accelerator unavailable: {reason}", file=sys.stderr)
         raise SystemExit(2)
