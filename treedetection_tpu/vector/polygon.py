@@ -27,16 +27,25 @@ def ensure_closed(coords: Coords) -> Coords:
     coords = np.asarray(coords, dtype=np.float64)
     if len(coords) == 0:
         return coords.reshape(0, 2)
-    if not np.array_equal(coords[0], coords[-1]):
-        coords = np.vstack([coords, coords[:1]])
+    # scalar first/last compare: this runs per crown in the stitch/postprocess
+    # hot loops, where np.array_equal's dispatch overhead dominated the
+    # native simplify call itself (profiled 2x the DP kernel)
+    f, l = coords[0], coords[-1]
+    if f[0] != l[0] or f[1] != l[1]:
+        out = np.empty((len(coords) + 1, 2), dtype=np.float64)
+        out[:-1] = coords
+        out[-1] = f
+        return out
     return coords
 
 
 def ensure_open(coords: Coords) -> Coords:
     """Return ring without the duplicated closing point."""
     coords = np.asarray(coords, dtype=np.float64)
-    if len(coords) > 1 and np.array_equal(coords[0], coords[-1]):
-        return coords[:-1]
+    if len(coords) > 1:
+        f, l = coords[0], coords[-1]
+        if f[0] == l[0] and f[1] == l[1]:
+            return coords[:-1]
     return coords
 
 
