@@ -115,6 +115,7 @@ def _ensure_live_backend(timeout_s: int = 300) -> None:
                   file=sys.stderr)
             import time as _t
             _t.sleep(180)
+        transient = False
         try:
             out = subprocess.run(
                 [sys.executable, "-c",
@@ -124,8 +125,12 @@ def _ensure_live_backend(timeout_s: int = 300) -> None:
                 return  # backend initializes fine
             reason = (out.stderr or "").strip().splitlines()[-1:] or ["?"]
             reason = reason[0]
+            transient = "UNAVAILABLE" in reason or "DEADLINE" in reason
         except subprocess.TimeoutExpired:
             reason = f"backend init hung > {timeout_s}s (tunnel outage)"
+            transient = True
+        if not transient:
+            break  # deterministic failure: retrying cannot help
     if os.environ.get("TD_BENCH_REQUIRE_TPU") == "1":
         print(f"bench: accelerator unavailable: {reason}", file=sys.stderr)
         raise SystemExit(2)

@@ -134,6 +134,28 @@ class TestStitching:
         geoms, _, _ = read_gpkg(outputs[0])
         assert len(geoms) == 1  # stale empty sink was NOT trusted
 
+    def test_eager_sink_stale_dir_falls_back(self, tmp_path):
+        """A sink that does not cover every Prediction_*.json on disk (stale
+        files from a prior run) is distrusted — the file path gathers ALL
+        tile files, matching the glob semantics."""
+        root = tmp_path / "pred"
+        d = root / "img"
+        d.mkdir(parents=True)
+        for tx in (100, 150):
+            write_prediction_json(
+                str(d / f"Prediction_img_{tx}_200_50_20_25832.json"),
+                [(circle(tx + 25, 225, 5, n=40), 0.9)])
+        # sink knows only ONE of the two files on disk
+        config = {"logger": None, "simplify_tolerance": 0.2,
+                  "_stitch_cache": {
+                      str(d): {"tolerance": 0.2,
+                               "tiles": {"Prediction_img_100_200_50_20_25832"
+                                         ".json": ([], [])}}}}
+        outputs = stitching.process_and_stitch_predictions(
+            config, str(root), ["img.tif"])
+        geoms, _, _ = read_gpkg(outputs[0])
+        assert len(geoms) == 2  # both tiles stitched via the file path
+
     def test_stitch_stage_survives_one_bad_image(self, tmp_path, monkeypatch):
         """One failing image folder must not abort the stage or lose the
         manifest for completed stems (keep-alive parity with the reference's

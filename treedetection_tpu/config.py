@@ -209,7 +209,11 @@ _DEFAULTS: Tuple[Tuple[str, Any], ...] = (
     ("model_input_size", 1024),    # static model input resolution (px)
     ("max_detections", 100),       # static per-tile detection budget
     ("mixed_precision", True),     # bfloat16 conv path
-    ("prefetch_batches", 2),       # host->device pipeline depth
+    ("prefetch_batches", 2),       # Predictor pipeline depth: decode-prefetch
+                                   # window AND batches kept in flight
+    ("eager_stitch", True),        # stitch transform at predict flush (the
+                                   # stitch stage then skips JSON re-parse)
+    ("stitch_cache_images", 8),    # eager-sink capacity before file fallback
     ("pixel_mean", None),          # BGR mean override (default caffe values)
     ("pixel_std", None),           # BGR std override; set [57.375, 57.12,
                                    # 58.395] for checkpoints trained by

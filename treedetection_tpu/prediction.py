@@ -402,6 +402,7 @@ class Predictor:
                 "tolerance": self.config.get("simplify_tolerance", 0.2),
                 "tiles": self._stitch_acc,
             }
+            cache.move_to_end(output_dir)  # re-predicts refresh recency
             cap = int(self.config.get("stitch_cache_images", 8))
             while len(cache) > cap:  # oldest images fall back to file stitch
                 cache.popitem(last=False)
@@ -645,8 +646,10 @@ class Predictor:
                 pts = ring.astype(np.float64)
                 pts[:, 0] += ox
                 pts[:, 1] += oy
-                # close ring (reference prediction.py:240-242)
-                if not np.array_equal(pts[0], pts[-1]):
+                # close ring (reference prediction.py:240-242); scalar
+                # compare — array_equal dispatch cost is 2x the native
+                # simplify kernel per crown (see vector.polygon.ensure_closed)
+                if pts[0, 0] != pts[-1, 0] or pts[0, 1] != pts[-1, 1]:
                     pts = np.vstack([pts, pts[:1]])
                 gx, gy = transform.apply(pts[:, 0], pts[:, 1])
                 evaluations.append({
@@ -666,6 +669,16 @@ class Predictor:
         os.replace(tmp, out_file)
         if self._stitch_acc is not None:
             from treedetection_tpu.stitching import stitch_rings
-            self._stitch_acc[name] = stitch_rings(
-                item["tile_id"], sink_rings, sink_scores,
-                self.config.get("simplify_tolerance", 0.2))
+            try:
+                self._stitch_acc[name] = stitch_rings(
+                    item["tile_id"], sink_rings, sink_scores,
+                    self.config.get("simplify_tolerance", 0.2))
+            except (ValueError, IndexError) as exc:
+                # an unparseable tile_id must not abort the predict run —
+                # drop the sink for this image; the stitch stage's file
+                # path handles (and per-file warns about) the same id
+                if self.logger:
+                    self.logger.warning(
+                        f"Eager stitch disabled for this image "
+                        f"(tile_id {item['tile_id']!r}: {exc})")
+                self._stitch_acc = None

@@ -156,6 +156,19 @@ def stitch_image_cached(tiles: Dict[str, Tuple[List[np.ndarray], List[float]]],
     return len(all_crowns)
 
 
+def _sink_covers_dir(tiles: Dict[str, Any], pred_dir: str) -> bool:
+    """The eager sink is only trusted when its tile set matches the
+    ``Prediction_*.json`` files actually on disk — stale JSONs from a prior
+    run (changed tiling parameters, partial reruns) would make the cached
+    GPKG silently differ from the file-based glob."""
+    try:
+        on_disk = {f for f in os.listdir(pred_dir)
+                   if f.startswith("Prediction_") and f.endswith(".json")}
+    except OSError:
+        return False
+    return on_disk == set(tiles.keys())
+
+
 def process_and_stitch_predictions(config: Dict[str, Any],
                                    prediction_root: str,
                                    image_names: List[str],
@@ -184,8 +197,9 @@ def process_and_stitch_predictions(config: Dict[str, Any],
         if stem in done and os.path.exists(out_gpkg):
             continue
         entry = stitch_cache.pop(pred_dir, None)
-        if entry is not None and entry.get("tolerance") == tolerance:
-            cached.append((stem, out_gpkg, entry["tiles"]))
+        if entry is not None and entry.get("tolerance") == tolerance \
+                and _sink_covers_dir(entry["tiles"], pred_dir):
+            cached.append((stem, pred_dir, out_gpkg, entry["tiles"]))
             continue
         if not os.path.isdir(pred_dir):
             if logger:
@@ -193,12 +207,16 @@ def process_and_stitch_predictions(config: Dict[str, Any],
             continue
         todo.append((stem, pred_dir, out_gpkg))
 
-    for i, (stem, out_gpkg, tiles) in enumerate(cached):
+    for i, (stem, pred_dir, out_gpkg, tiles) in enumerate(cached):
         try:
             n = stitch_image_cached(tiles, out_gpkg)
         except (OSError, ValueError, KeyError, TypeError) as exc:
+            # the Prediction_*.json files are on disk — re-stitch from them
+            # instead of losing the image this run
             if logger:
-                logger.error(f"Stitching (cached) failed for {stem}: {exc}")
+                logger.error(f"Stitching (cached) failed for {stem}: {exc}; "
+                             f"falling back to file-based stitching")
+            todo.append((stem, pred_dir, out_gpkg))
             continue
         completed.append(stem)
         save_stitching_recovery_data(prediction_root, completed)
