@@ -134,6 +134,26 @@ class TestStitching:
         geoms, _, _ = read_gpkg(outputs[0])
         assert len(geoms) == 1  # stale empty sink was NOT trusted
 
+    def test_eager_sink_write_failure_falls_back(self, tmp_path, monkeypatch):
+        """A cached-stitch write failure re-queues the image for file-based
+        stitching — the tile JSONs are on disk, the image must not be lost."""
+        root = tmp_path / "pred"
+        d = root / "img"
+        d.mkdir(parents=True)
+        name = "Prediction_img_100_200_50_20_25832.json"
+        write_prediction_json(str(d / name), [(circle(125, 225, 5, n=40), 0.9)])
+        tiles = {name: stitching.stitch_tile_file(str(d / name), 0.2)}
+        monkeypatch.setattr(stitching, "stitch_image_cached",
+                            lambda *a, **kw: (_ for _ in ()).throw(
+                                ValueError("bad write")))
+        config = {"logger": None, "simplify_tolerance": 0.2,
+                  "_stitch_cache": {str(d): {"tolerance": 0.2,
+                                             "tiles": tiles}}}
+        outputs = stitching.process_and_stitch_predictions(
+            config, str(root), ["img.tif"])
+        geoms, _, _ = read_gpkg(outputs[0])
+        assert len(geoms) == 1  # file path rescued the image
+
     def test_eager_sink_stale_dir_falls_back(self, tmp_path):
         """A sink that does not cover every Prediction_*.json on disk (stale
         files from a prior run) is distrusted — the file path gathers ALL
