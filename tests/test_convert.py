@@ -165,3 +165,32 @@ class TestFullConversion:
         params = load_checkpoint(p, depth=50)
         assert "params" in params
         assert params["params"]["rpn_head"]["conv"]["kernel"].shape == (3, 3, 256, 256)
+
+    def test_scan_layout_matches_unrolled_bit_exact(self):
+        """The scanned backbone (stacked res{s}_rest params via lax.scan)
+        produces bit-identical outputs to the unrolled layout — the same conv
+        sequence runs per iteration (resnet.ResNet.scan_blocks docstring)."""
+        import dataclasses
+        from treedetection_tpu.models import MaskRCNN, MaskRCNNConfig
+        from treedetection_tpu.models.convert import restack_backbone
+        from treedetection_tpu.models.mask_rcnn import create_model
+        cfg = MaskRCNNConfig(depth=50, input_size=128, rpn_pre_nms_topk=50,
+                             rpn_post_nms_topk=20, max_detections=5,
+                             bf16=False)
+        model, params = create_model(cfg)  # scan layout (default)
+        unrolled = MaskRCNN(dataclasses.replace(cfg, scan_blocks=False))
+        p_un = restack_backbone(jax.tree.map(np.asarray, params), scan=False)
+        bu = p_un["params"]["backbone"]["bottom_up"]
+        assert "res3_1" in bu and "res3_rest" not in bu
+        x = jnp.asarray(np.random.default_rng(5).normal(
+            size=(1, 128, 128, 3)).astype(np.float32))
+        a = model.apply(params, x)
+        b = unrolled.apply(p_un, x)
+        np.testing.assert_array_equal(np.asarray(a.boxes), np.asarray(b.boxes))
+        np.testing.assert_array_equal(np.asarray(a.masks), np.asarray(b.masks))
+        # legacy tree restacks back to the scan layout and still runs exactly
+        p_re = restack_backbone(p_un, scan=True)
+        bu2 = p_re["params"]["backbone"]["bottom_up"]
+        assert "res3_rest" in bu2 and "res3_1" not in bu2
+        c = model.apply(p_re, x)
+        np.testing.assert_array_equal(np.asarray(a.boxes), np.asarray(c.boxes))

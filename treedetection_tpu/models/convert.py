@@ -77,12 +77,25 @@ def _get_bn(sd: Mapping[str, Any], prefix: str) -> Tuple[np.ndarray, np.ndarray]
     )
 
 
+def _stack_trees(trees):
+    """Leaf-wise stack of same-structure dicts along a new leading axis (the
+    ``nn.scan`` stacked-block layout)."""
+    first = trees[0]
+    if isinstance(first, dict):
+        return {k: _stack_trees([t[k] for t in trees]) for k in first}
+    return np.stack([np.asarray(t) for t in trees])
+
+
 def convert_detectron2_state_dict(sd: Mapping[str, Any], depth: int = 101,
                                   fpn_channels: int = 256,
-                                  box_pool: int = 7) -> Dict[str, Any]:
+                                  box_pool: int = 7,
+                                  scan: bool = True) -> Dict[str, Any]:
     """Map a detectron2 Mask R-CNN (R-FPN) state dict to our param tree.
 
     Returns the ``{"params": ...}`` pytree accepted by ``MaskRCNN.apply``.
+    ``scan`` selects the stacked-block backbone layout (``res{s}_0`` +
+    ``res{s}_rest/block``, matching ``MaskRCNNConfig.scan_blocks=True``);
+    ``scan=False`` produces the legacy unrolled ``res{s}_{i}`` layout.
     """
     from treedetection_tpu.models.resnet import STAGE_BLOCKS
     blocks = STAGE_BLOCKS[depth]
@@ -97,6 +110,7 @@ def convert_detectron2_state_dict(sd: Mapping[str, Any], depth: int = 101,
     bottom_up: Dict[str, Any] = {"stem": convbn("backbone.bottom_up.stem.conv1")}
     for stage, n_blocks in enumerate(blocks):
         s = stage + 2
+        stage_blocks = []
         for i in range(n_blocks):
             src = f"backbone.bottom_up.res{s}.{i}"
             block: Dict[str, Any] = {
@@ -106,7 +120,14 @@ def convert_detectron2_state_dict(sd: Mapping[str, Any], depth: int = 101,
             }
             if f"{src}.shortcut.weight" in sd:
                 block["shortcut"] = convbn(f"{src}.shortcut")
-            bottom_up[f"res{s}_{i}"] = block
+            stage_blocks.append(block)
+        bottom_up[f"res{s}_0"] = stage_blocks[0]
+        if scan and len(stage_blocks) > 1:
+            bottom_up[f"res{s}_rest"] = {
+                "block": _stack_trees(stage_blocks[1:])}
+        else:
+            for i, block in enumerate(stage_blocks[1:], start=1):
+                bottom_up[f"res{s}_{i}"] = block
 
     fpn: Dict[str, Any] = {}
     for lvl in range(2, 6):
@@ -235,18 +256,77 @@ def _load_npz_checkpoint(path: str) -> Dict[str, Any]:
     return out
 
 
-def load_checkpoint(path: str, depth: int = 101) -> Dict[str, Any]:
+def restack_backbone(params: Dict[str, Any], scan: bool = True
+                     ) -> Dict[str, Any]:
+    """Migrate the backbone block layout in-place-free between the legacy
+    unrolled form (``res{s}_{i}`` for every block) and the scanned form
+    (``res{s}_0`` + ``res{s}_rest/block`` with a leading stacked axis).
+
+    No-op when the tree already has the requested layout, so it is safe to
+    call on every checkpoint load (old shipped ``.npz``/orbax checkpoints
+    keep loading after the ``scan_blocks`` model change).
+    """
+    import re
+    tree = params.get("params", params)
+    bottom_up = tree.get("backbone", {}).get("bottom_up")
+    if not isinstance(bottom_up, dict):
+        return params
+    names = list(bottom_up.keys())
+    unrolled = sorted(
+        (m for m in (re.match(r"res(\d+)_(\d+)$", n) for n in names) if m),
+        key=lambda m: (int(m.group(1)), int(m.group(2))))
+    has_rest = any(n.endswith("_rest") for n in names)
+    new_bu = dict(bottom_up)
+    if scan and not has_rest:
+        stages: Dict[int, list] = {}
+        for m in unrolled:
+            stages.setdefault(int(m.group(1)), []).append(m)
+        for s, ms in stages.items():
+            if len(ms) < 2:
+                continue
+            rest = [new_bu.pop(m.group(0)) for m in ms[1:]]
+            new_bu[f"res{s}_rest"] = {"block": _stack_trees(rest)}
+    elif not scan and has_rest:
+        for n in [n for n in names if n.endswith("_rest")]:
+            s = int(re.match(r"res(\d+)_rest", n).group(1))
+            stacked = new_bu.pop(n)["block"]
+            length = len(_first_leaf(stacked))
+
+            def take(t, i):
+                if isinstance(t, dict):
+                    return {k: take(v, i) for k, v in t.items()}
+                return np.asarray(t)[i]
+
+            for i in range(length):
+                new_bu[f"res{s}_{i + 1}"] = take(stacked, i)
+    else:
+        return params
+    tree = dict(tree)
+    tree["backbone"] = dict(tree["backbone"])
+    tree["backbone"]["bottom_up"] = new_bu
+    return {"params": tree} if "params" in params else tree
+
+
+def _first_leaf(tree):
+    while isinstance(tree, dict):
+        tree = next(iter(tree.values()))
+    return tree
+
+
+def load_checkpoint(path: str, depth: int = 101,
+                    scan: bool = True) -> Dict[str, Any]:
     """Load a model checkpoint: detectron2 ``.pth`` (torch), compact ``.npz``
     (:func:`save_checkpoint_npz`), or our own orbax format
-    (``.ckpt``/directory)."""
+    (``.ckpt``/directory).  The backbone block layout is migrated to match
+    ``scan`` (see :func:`restack_backbone`)."""
     if path.endswith(".pth") or path.endswith(".pkl"):
         import torch
         blob = torch.load(path, map_location="cpu", weights_only=False)
         sd = blob.get("model", blob) if isinstance(blob, dict) else blob
-        return convert_detectron2_state_dict(sd, depth=depth)
+        return convert_detectron2_state_dict(sd, depth=depth, scan=scan)
     if path.endswith(".npz"):
-        return _load_npz_checkpoint(path)
+        return restack_backbone(_load_npz_checkpoint(path), scan=scan)
     # orbax checkpoint directory
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path)
+    return restack_backbone(ckptr.restore(path), scan=scan)

@@ -47,6 +47,9 @@ class MaskRCNNConfig:
     anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
     bf16: bool = True
     remat: bool = False  # rematerialize backbone blocks (training memory)
+    # lax.scan over each stage's identical bottlenecks (see resnet.ResNet):
+    # ~2.5x faster compiles, ~4x smaller executables, identical math
+    scan_blocks: bool = True
     # TPU-optimized approximate top-k (jax.lax.approx_max_k) for RPN levels
     # with more anchors than this; P2 at 1024^2 has 196k anchors where exact
     # top-k sorts poorly on TPU.  0 disables (exact everywhere — the oracle
@@ -80,7 +83,8 @@ class MaskRCNN(nn.Module):
     def setup(self):
         c = self.cfg
         self.backbone = ResNetFPN(depth=c.depth, dtype=c.dtype,
-                                  remat=c.remat, name="backbone")
+                                  remat=c.remat, scan_blocks=c.scan_blocks,
+                                  name="backbone")
         self.rpn_head = RPNHead(num_anchors=len(c.anchor_ratios),
                                 dtype=c.dtype, name="rpn_head")
         self.box_head = BoxHead(num_classes=c.num_classes, dtype=c.dtype,

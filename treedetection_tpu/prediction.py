@@ -205,7 +205,8 @@ class Predictor:
                 and (os.path.isdir(model_path)
                      or os.path.getsize(model_path) > 0):
             try:
-                self.params = load_checkpoint(model_path, depth=self.cfg.depth)
+                self.params = load_checkpoint(model_path, depth=self.cfg.depth,
+                                              scan=self.cfg.scan_blocks)
                 if self.logger:
                     self.logger.info(f"Loaded model weights from {model_path}")
             except (EOFError, OSError, KeyError, ValueError, RuntimeError) as exc:
