@@ -361,6 +361,11 @@ class ModelSpec:
     test_resize: str = "fixed"
     resize_shortest_edge: int = 800
     resize_max_size: int = 1333
+    # lax.scan over identical backbone blocks (resnet.ResNet.scan_blocks):
+    # identical math, much smaller/faster-compiling executables.  Escape
+    # hatch (`scan_blocks: false`) in case a backend mishandles the scanned
+    # program — checkpoints load either way (convert.restack_backbone).
+    scan_blocks: bool = True
 
 
 def model_spec(config: Dict[str, Any]) -> ModelSpec:
@@ -380,6 +385,7 @@ def model_spec(config: Dict[str, Any]) -> ModelSpec:
         max_detections=int(config.get("max_detections", 100)),
         rpn_approx_topk_from=int(config.get("rpn_approx_topk_from", 16384)),
         bf16=bool(config.get("mixed_precision", True)),
+        scan_blocks=bool(config.get("scan_blocks", True)),
         test_resize=str(config.get("test_resize", "fixed")),
         resize_shortest_edge=int(config.get("resize_shortest_edge", 800)),
         resize_max_size=int(config.get("resize_max_size", 1333)),

@@ -196,6 +196,7 @@ class Predictor:
             anchor_ratios=spec.anchor_ratios,
             bf16=spec.bf16 and not on_cpu,
             rpn_approx_topk_from=spec.rpn_approx_topk_from,
+            scan_blocks=spec.scan_blocks,
         )
         self.model = MaskRCNN(self.cfg)
         self.params = None
