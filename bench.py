@@ -106,15 +106,19 @@ def _ensure_live_backend(timeout_s: int = 300) -> None:
     if os.environ.get("_TD_BENCH_CPU_FALLBACK"):
         return
     timeout_s = int(os.environ.get("TD_BENCH_PROBE_TIMEOUT", timeout_s))
-    retries = int(os.environ.get("TD_BENCH_PROBE_RETRIES", 2))
+    # tunnel outages regularly exceed 20 min of quiet before recovering; a
+    # premature CPU fallback loses the round's committed TPU metric, so the
+    # probe waits out ~30 min before giving up
+    retries = int(os.environ.get("TD_BENCH_PROBE_RETRIES", 3))
+    retry_sleep = int(os.environ.get("TD_BENCH_PROBE_SLEEP", 240))
     env = dict(os.environ)
     reason = "?"
     for attempt in range(retries + 1):
         if attempt:
-            print(f"bench: probe retry {attempt}/{retries} in 180s ({reason})",
-                  file=sys.stderr)
+            print(f"bench: probe retry {attempt}/{retries} in {retry_sleep}s "
+                  f"({reason})", file=sys.stderr)
             import time as _t
-            _t.sleep(180)
+            _t.sleep(retry_sleep)
         transient = False
         try:
             out = subprocess.run(

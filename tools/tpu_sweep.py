@@ -1,0 +1,212 @@
+"""One-process TPU perf validation + parameter sweep.
+
+The axon relay degrades when hammered with many short-lived processes, so
+every live-TPU experiment for a session is batched here: ONE process runs
+(1) chip warmup + median-of-5 compute timing for the current program,
+(2) the BENCH_DETAIL cumulative stage breakdown,
+(3) a TD_ROI_CHUNK x TD_ROI_SLOTS sweep of the Pallas boxpool, and
+(4) an executable-size / warm-compile-time probe for the scanned backbone.
+
+Each phase prints its own stderr lines and appends a JSON record to
+``tools/tpu_sweep_results.jsonl`` so a dropped tunnel mid-run loses nothing.
+
+Usage:  timeout 3000 python tools/tpu_sweep.py [phase ...]
+        phases: chip detail roi compile   (default: all)
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+OUT_PATH = os.path.join(REPO, "tools", "tpu_sweep_results.jsonl")
+
+
+def record(phase: str, payload: dict) -> None:
+    payload = {"phase": phase, "t": time.strftime("%H:%M:%S"), **payload}
+    with open(OUT_PATH, "a") as fh:
+        fh.write(json.dumps(payload) + "\n")
+    print(f"sweep[{phase}]: {json.dumps(payload)}", file=sys.stderr)
+
+
+def median_ms(fn, n=5):
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return float(np.median(ts)) * 1e3, [round(t * 1e3) for t in ts]
+
+
+def main(phases) -> int:
+    import jax
+    import jax.numpy as jnp
+    from treedetection_tpu.utils.xla_cache import setup_compilation_cache
+    setup_compilation_cache()
+    from treedetection_tpu.models.mask_rcnn import MaskRCNNConfig, create_model
+    from treedetection_tpu.ops.image import normalize_bgr
+    from treedetection_tpu.ops.pack import pack_model_output
+
+    dev = jax.devices()[0]
+    print(f"sweep: backend={dev.platform}", file=sys.stderr)
+    if dev.platform == "cpu":
+        print("sweep: no accelerator; aborting", file=sys.stderr)
+        return 2
+
+    size, batch = 1024, 8
+    cfg = MaskRCNNConfig(depth=101, input_size=size, bf16=True,
+                         rpn_approx_topk_from=16384)
+    model, params = create_model(cfg)
+    params = jax.device_put(params, dev)
+    rng = np.random.default_rng(0)
+    tiles_np = rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)
+    tiles = jax.device_put(tiles_np, dev)
+
+    @jax.jit
+    def _forward(p, t):
+        return pack_model_output(model.apply(p, normalize_bgr(t)))
+
+    forward = functools.partial(_forward, params)
+
+    if "chip" in phases:
+        t0 = time.time()
+        jax.device_get(forward(tiles))
+        compile_s = time.time() - t0
+        med, runs = median_ms(lambda: jax.device_get(forward(tiles)))
+        record("chip", {"first_compile_s": round(compile_s, 1),
+                        "compute_ms_median5": round(med, 1), "runs_ms": runs,
+                        "tiles_per_s_serial": round(batch / (med / 1e3), 1)})
+
+    if "compile" in phases:
+        # serialized-executable size = the warm-compile (cache load) floor
+        try:
+            lowered = _forward.lower(params, tiles)
+            comp = lowered.compile()
+            try:
+                ser = comp.runtime_executable().serialize()
+                sz = len(ser)
+            except Exception:
+                sz = -1
+            record("compile", {"exec_bytes": sz,
+                               "exec_mb": round(sz / 1e6, 1) if sz > 0 else None})
+        except Exception as exc:
+            record("compile", {"error": str(exc)[:200]})
+
+    if "detail" in phases:
+        from treedetection_tpu.models.mask_rcnn import FPN_STRIDES
+        from treedetection_tpu.models.rpn import generate_proposals
+        from treedetection_tpu.models.roi_heads import box_inference
+        from treedetection_tpu.ops.roi_align import multilevel_roi_align_batched
+
+        def _stage_fn(upto):
+            def fn(self, images):
+                c = self.cfg
+                B = images.shape[0]
+                feats = self.backbone(images.astype(c.dtype))
+                logits, deltas = self.rpn_head(feats)
+                if upto == "rpn":
+                    return logits[0].astype(jnp.float32).sum()
+                props = jax.vmap(lambda lg, dl: generate_proposals(
+                    lg, dl, self._anchors, c.input_size,
+                    c.rpn_pre_nms_topk, c.rpn_post_nms_topk,
+                    c.rpn_nms_threshold,
+                    approx_topk_from=c.rpn_approx_topk_from))(logits, deltas)
+                if upto == "proposals":
+                    return props.scores.astype(jnp.float32).sum()
+                K = props.boxes.shape[1]
+                feats4 = [f.astype(c.dtype) for f in feats[:4]]
+                pooled = multilevel_roi_align_batched(
+                    feats4, props.boxes, c.box_pool, FPN_STRIDES[:4])
+                if upto == "boxpool":
+                    return pooled.astype(jnp.float32).sum()
+                cls_logits, box_deltas = self.box_head(
+                    pooled.reshape((B * K,) + pooled.shape[2:]).astype(c.dtype))
+                det = jax.vmap(lambda cl, bd, pb, ps: box_inference(
+                    cl, bd, pb, ps, c.input_size, c.score_threshold,
+                    c.nms_threshold, c.max_detections))(
+                    cls_logits.reshape(B, K, -1), box_deltas.reshape(B, K, -1),
+                    props.boxes, props.scores)
+                if upto == "boxhead":
+                    return det.scores.astype(jnp.float32).sum()
+                D = det.boxes.shape[1]
+                mask_pooled = multilevel_roi_align_batched(
+                    feats4, det.boxes, c.mask_pool, FPN_STRIDES[:4])
+                ml = self.mask_head(
+                    mask_pooled.reshape((B * D,) + mask_pooled.shape[2:])
+                    .astype(c.dtype))
+                return ml.astype(jnp.float32).sum()
+            return fn
+
+        prev = 0.0
+        out = {}
+        for upto in ("rpn", "proposals", "boxpool", "boxhead", "maskhead"):
+            method = _stage_fn(upto)
+
+            @jax.jit
+            def _staged(p, t, _m=method):
+                return model.apply(p, normalize_bgr(t), method=_m)
+
+            staged = functools.partial(_staged, params)
+            float(staged(tiles))  # compile
+            med, _ = median_ms(lambda: float(staged(tiles)), n=3)
+            out[upto] = {"cum_ms": round(med, 1), "delta_ms": round(med - prev, 1)}
+            prev = med
+        record("detail", out)
+
+    if "roi" in phases:
+        # standalone boxpool benchmark over (chunk, slots) grid: realistic
+        # level sizes for 1024^2 input, 8 x 1008 boxes, R=7
+        from treedetection_tpu.ops import roi_align as ra
+        C = 256
+        hs = [256, 128, 64, 32]
+        strides = [4, 8, 16, 32]
+        fmaps = [jnp.asarray(rng.normal(size=(batch, h, h, C)).astype(np.float32),
+                             dtype=jnp.bfloat16) for h in hs]
+        fmaps = jax.device_put(fmaps, dev)
+        # box sizes spanning the level bands
+        n_boxes = 1008
+        sizes_px = rng.uniform(16, 440, size=(batch, n_boxes))
+        cx = rng.uniform(0, 1024, size=(batch, n_boxes))
+        cy = rng.uniform(0, 1024, size=(batch, n_boxes))
+        boxes = np.stack([np.clip(cx - sizes_px / 2, 0, 1023),
+                          np.clip(cy - sizes_px / 2, 0, 1023),
+                          np.clip(cx + sizes_px / 2, 1, 1024),
+                          np.clip(cy + sizes_px / 2, 1, 1024)], axis=-1)
+        boxes = jax.device_put(jnp.asarray(boxes, dtype=jnp.float32), dev)
+
+        results = {}
+        for chunk in (16, 32, 64, 128):
+            for slots in (2, 4, 6, 8):
+                os.environ["TD_ROI_CHUNK"] = str(chunk)
+                os.environ["TD_ROI_SLOTS"] = str(slots)
+
+                @jax.jit
+                def _pool(fm, bx):
+                    return ra.multilevel_roi_align_batched(
+                        list(fm), bx, 7, strides).astype(jnp.float32).sum()
+
+                try:
+                    float(_pool(fmaps, boxes))  # compile
+                    med, _ = median_ms(lambda: float(_pool(fmaps, boxes)), n=3)
+                    results[f"c{chunk}_s{slots}"] = round(med, 1)
+                    print(f"sweep[roi]: chunk={chunk} slots={slots} "
+                          f"{med:.1f}ms", file=sys.stderr)
+                except Exception as exc:
+                    results[f"c{chunk}_s{slots}"] = f"err:{str(exc)[:80]}"
+        os.environ.pop("TD_ROI_CHUNK", None)
+        os.environ.pop("TD_ROI_SLOTS", None)
+        record("roi", results)
+
+    return 0
+
+
+if __name__ == "__main__":
+    phases = sys.argv[1:] or ["chip", "compile", "detail", "roi"]
+    sys.exit(main(phases))
