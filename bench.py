@@ -315,7 +315,11 @@ def main() -> int:
                 n_polys += len(trace_contours(binary))
         return n_polys
 
-    # host polygonization cost for the real detections of the last batch
+    # host polygonization cost for the real detections of the last batch.
+    # Warm call first: the first invocation pays one-time costs (native .so
+    # load, lazy imports, allocator warmup) that poisoned a measured p50 once
+    # (3.9 s cold vs ~10 ms warm for the same 5 rings).
+    polygonize(host_out)
     t0 = time.time()
     n_polys = polygonize(host_out)
     host_time = time.time() - t0

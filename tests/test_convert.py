@@ -194,3 +194,44 @@ class TestFullConversion:
         assert "res3_rest" in bu2 and "res3_1" not in bu2
         c = model.apply(p_re, x)
         np.testing.assert_array_equal(np.asarray(a.boxes), np.asarray(c.boxes))
+
+
+class TestBF16ParamStorage:
+    """bf16 serving stores the device param copy in bf16 (prediction.Predictor):
+    every module reads params through ``astype(cfg.dtype)``, so bf16 storage
+    must be bit-identical to fp32 storage under bf16 compute."""
+
+    def test_bf16_stored_params_bit_identical_under_bf16_compute(self):
+        import ml_dtypes
+        from treedetection_tpu.models import MaskRCNN, MaskRCNNConfig
+        from treedetection_tpu.models.mask_rcnn import create_model
+        cfg = MaskRCNNConfig(depth=50, input_size=128, rpn_pre_nms_topk=50,
+                             rpn_post_nms_topk=20, max_detections=5,
+                             bf16=True)
+        model, params = create_model(cfg)
+        p16 = jax.tree.map(
+            lambda a: np.asarray(a).astype(ml_dtypes.bfloat16)
+            if np.asarray(a).dtype.kind == "f" else np.asarray(a), params)
+        x = jnp.asarray(np.random.default_rng(7).normal(
+            size=(1, 128, 128, 3)).astype(np.float32))
+        a = model.apply(params, x)
+        b = model.apply(p16, x)
+        np.testing.assert_array_equal(np.asarray(a.boxes), np.asarray(b.boxes))
+        np.testing.assert_array_equal(np.asarray(a.scores), np.asarray(b.scores))
+        np.testing.assert_array_equal(np.asarray(a.masks), np.asarray(b.masks))
+
+    def test_npz_param_dtype_none_keeps_stored_halfwidth(self, tmp_path):
+        from treedetection_tpu.models.convert import (load_checkpoint,
+                                                      save_checkpoint_npz)
+        tree = {"params": {"w": np.arange(8, dtype=np.float32) / 7.0,
+                           "big": np.asarray([1e5], dtype=np.float32)}}
+        p = str(tmp_path / "m.npz")
+        save_checkpoint_npz(p, tree)
+        kept = load_checkpoint(p, param_dtype=None)["params"]
+        assert kept["w"].dtype == np.float16
+        # the fp16-overflow leaf stays fp32 in storage and on load
+        assert kept["big"].dtype == np.float32
+        wide = load_checkpoint(p)["params"]
+        assert wide["w"].dtype == np.float32
+        np.testing.assert_array_equal(wide["w"],
+                                      kept["w"].astype(np.float32))

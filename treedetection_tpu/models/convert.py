@@ -242,9 +242,11 @@ def save_checkpoint_npz(path: str, params: Dict[str, Any],
     os.replace(tmp, path)
 
 
-def _load_npz_checkpoint(path: str) -> Dict[str, Any]:
+def _load_npz_checkpoint(path: str, dtype=np.float32) -> Dict[str, Any]:
     # numpy-only: see load_torch_state_dict — per-leaf jnp.asarray triggers
     # one remote convert_element_type compile per shape (minutes on a relay).
+    # ``dtype=None`` keeps each leaf's stored dtype (fp16 checkpoints stay
+    # half-width for callers that run bf16 compute anyway).
     out: Dict[str, Any] = {}
     with np.load(path) as z:
         for key in z.files:
@@ -252,7 +254,9 @@ def _load_npz_checkpoint(path: str) -> Dict[str, Any]:
             parts = key.split("/")
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
-            node[parts[-1]] = np.asarray(z[key], dtype=np.float32)
+            arr = z[key]
+            node[parts[-1]] = (arr[...] if dtype is None
+                               else np.asarray(arr, dtype=dtype))
     return out
 
 
@@ -314,18 +318,26 @@ def _first_leaf(tree):
 
 
 def load_checkpoint(path: str, depth: int = 101,
-                    scan: bool = True) -> Dict[str, Any]:
+                    scan: bool = True, param_dtype=np.float32
+                    ) -> Dict[str, Any]:
     """Load a model checkpoint: detectron2 ``.pth`` (torch), compact ``.npz``
     (:func:`save_checkpoint_npz`), or our own orbax format
     (``.ckpt``/directory).  The backbone block layout is migrated to match
-    ``scan`` (see :func:`restack_backbone`)."""
+    ``scan`` (see :func:`restack_backbone`).
+
+    ``param_dtype`` applies to ``.npz`` checkpoints only: ``None`` keeps each
+    leaf's stored dtype (half-width fp16 leaves stay fp16 — correct for bf16
+    serving, where ``astype(bf16)`` of the fp16 value rounds identically to
+    ``astype(bf16)`` of its fp32 widening); the fp32 default suits training
+    and fp32-compute paths."""
     if path.endswith(".pth") or path.endswith(".pkl"):
         import torch
         blob = torch.load(path, map_location="cpu", weights_only=False)
         sd = blob.get("model", blob) if isinstance(blob, dict) else blob
         return convert_detectron2_state_dict(sd, depth=depth, scan=scan)
     if path.endswith(".npz"):
-        return restack_backbone(_load_npz_checkpoint(path), scan=scan)
+        return restack_backbone(_load_npz_checkpoint(path, dtype=param_dtype),
+                                scan=scan)
     # orbax checkpoint directory
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()

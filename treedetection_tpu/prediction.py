@@ -206,8 +206,13 @@ class Predictor:
                 and (os.path.isdir(model_path)
                      or os.path.getsize(model_path) > 0):
             try:
-                self.params = load_checkpoint(model_path, depth=self.cfg.depth,
-                                              scan=self.cfg.scan_blocks)
+                # bf16 serving keeps fp16 npz leaves half-width (see
+                # load_checkpoint): the bf16 cast below makes wider storage
+                # pure waste in host RAM and host->device bytes
+                self.params = load_checkpoint(
+                    model_path, depth=self.cfg.depth,
+                    scan=self.cfg.scan_blocks,
+                    param_dtype=None if self.cfg.bf16 else np.float32)
                 if self.logger:
                     self.logger.info(f"Loaded model weights from {model_path}")
             except (EOFError, OSError, KeyError, ValueError, RuntimeError) as exc:
@@ -225,6 +230,23 @@ class Predictor:
                     f"randomly initialized weights (pipeline structure only)")
         self.batch_size = int(config.get("batch_size", 10))
         self.spec = spec
+
+        # bf16 compute reads every param through ``astype(cfg.dtype)``
+        # (resnet/rpn/roi_heads all run dtype=cfg.dtype), so storing the
+        # device copy in bf16 is bit-identical to fp32 storage — and halves
+        # the host->device weight upload (~176 -> 88 MB for R101, worth
+        # seconds per cold start on relay-attached chips).  Host-side cast
+        # only: per-leaf jnp ops on an uncommitted tree would dispatch to the
+        # remote default device (see load_checkpoint's numpy-only note).
+        if self.cfg.bf16:
+            import ml_dtypes
+
+            def _to_bf16(a):
+                a = np.asarray(a)
+                return (a.astype(ml_dtypes.bfloat16)
+                        if a.dtype.kind == "f" else a)
+
+            self.params = jax.tree.map(_to_bf16, self.params)
 
         # Multi-chip inference (VERDICT r1 item 2): when more than one device
         # is visible (or ``mesh_shape`` requests it), the tile batch is
