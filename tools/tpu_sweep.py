@@ -160,49 +160,138 @@ def main(phases) -> int:
             prev = med
         record("detail", out)
 
-    if "roi" in phases:
-        # standalone boxpool benchmark over (chunk, slots) grid: realistic
-        # level sizes for 1024^2 input, 8 x 1008 boxes, R=7
-        from treedetection_tpu.ops import roi_align as ra
+    if "roi" in phases or "roimask" in phases:
+        # standalone ROI-pool benchmark over (chunk, slots) grids, for both
+        # pool geometries: box head (R=7, 8 x 1008 proposals) and mask head
+        # (R=14, 8 x 100 detections).  Realistic level sizes for 1024^2.
+        # ops/__init__ re-exports a FUNCTION named roi_align that shadows the
+        # submodule attribute; importlib resolves the real module
+        import importlib
+        ra = importlib.import_module("treedetection_tpu.ops.roi_align")
         C = 256
         hs = [256, 128, 64, 32]
         strides = [4, 8, 16, 32]
         fmaps = [jnp.asarray(rng.normal(size=(batch, h, h, C)).astype(np.float32),
                              dtype=jnp.bfloat16) for h in hs]
         fmaps = jax.device_put(fmaps, dev)
-        # box sizes spanning the level bands
-        n_boxes = 1008
-        sizes_px = rng.uniform(16, 440, size=(batch, n_boxes))
-        cx = rng.uniform(0, 1024, size=(batch, n_boxes))
-        cy = rng.uniform(0, 1024, size=(batch, n_boxes))
-        boxes = np.stack([np.clip(cx - sizes_px / 2, 0, 1023),
-                          np.clip(cy - sizes_px / 2, 0, 1023),
-                          np.clip(cx + sizes_px / 2, 1, 1024),
-                          np.clip(cy + sizes_px / 2, 1, 1024)], axis=-1)
-        boxes = jax.device_put(jnp.asarray(boxes, dtype=jnp.float32), dev)
 
-        results = {}
-        for chunk in (16, 32, 64, 128):
-            for slots in (2, 4, 6, 8):
-                os.environ["TD_ROI_CHUNK"] = str(chunk)
-                os.environ["TD_ROI_SLOTS"] = str(slots)
+        def mk_boxes(n_boxes):
+            sizes_px = rng.uniform(16, 440, size=(batch, n_boxes))
+            cx = rng.uniform(0, 1024, size=(batch, n_boxes))
+            cy = rng.uniform(0, 1024, size=(batch, n_boxes))
+            arr = np.stack([np.clip(cx - sizes_px / 2, 0, 1023),
+                            np.clip(cy - sizes_px / 2, 0, 1023),
+                            np.clip(cx + sizes_px / 2, 1, 1024),
+                            np.clip(cy + sizes_px / 2, 1, 1024)], axis=-1)
+            return jax.device_put(jnp.asarray(arr, dtype=jnp.float32), dev)
 
-                @jax.jit
-                def _pool(fm, bx):
-                    return ra.multilevel_roi_align_batched(
-                        list(fm), bx, 7, strides).astype(jnp.float32).sum()
+        jobs = []
+        if "roi" in phases:
+            jobs.append(("roi", 7, 1008))
+        if "roimask" in phases:
+            jobs.append(("roimask", 14, 104))
+        for name, res, n_boxes in jobs:
+            boxes = mk_boxes(n_boxes)
+            results = {}
+            for chunk in (16, 32, 64, 128):
+                for slots in (2, 4, 6, 8):
+                    os.environ["TD_ROI_CHUNK"] = str(chunk)
+                    os.environ["TD_ROI_SLOTS"] = str(slots)
 
-                try:
-                    float(_pool(fmaps, boxes))  # compile
-                    med, _ = median_ms(lambda: float(_pool(fmaps, boxes)), n=3)
-                    results[f"c{chunk}_s{slots}"] = round(med, 1)
-                    print(f"sweep[roi]: chunk={chunk} slots={slots} "
-                          f"{med:.1f}ms", file=sys.stderr)
-                except Exception as exc:
-                    results[f"c{chunk}_s{slots}"] = f"err:{str(exc)[:80]}"
-        os.environ.pop("TD_ROI_CHUNK", None)
-        os.environ.pop("TD_ROI_SLOTS", None)
-        record("roi", results)
+                    @jax.jit
+                    def _pool(fm, bx, _r=res):
+                        return ra.multilevel_roi_align_batched(
+                            list(fm), bx, _r, strides).astype(jnp.float32).sum()
+
+                    try:
+                        float(_pool(fmaps, boxes))  # compile
+                        med, _ = median_ms(lambda: float(_pool(fmaps, boxes)),
+                                           n=3)
+                        results[f"c{chunk}_s{slots}"] = round(med, 1)
+                        print(f"sweep[{name}]: chunk={chunk} slots={slots} "
+                              f"{med:.1f}ms", file=sys.stderr)
+                    except Exception as exc:
+                        results[f"c{chunk}_s{slots}"] = f"err:{str(exc)[:80]}"
+            os.environ.pop("TD_ROI_CHUNK", None)
+            os.environ.pop("TD_ROI_SLOTS", None)
+            record(name, results)
+
+    if "backbone" in phases:
+        # cumulative sub-stage timing inside the backbone: where do the
+        # ~31 ms (relay-corrected) of backbone+rpn actually go?
+        from treedetection_tpu.models import resnet as rn
+
+        # Standalone partial-backbone modules (child names identical to
+        # ResNet's, so the real param tree applies; extra params are ignored).
+        bparams = jax.device_get(params)["params"]["backbone"]
+        bparams = jax.device_put(bparams, dev)
+        cdt = cfg.dtype
+
+        class _PartialResNet(rn.nn.Module):
+            depth: int
+            upto: str
+            dtype: object = jnp.float32
+
+            @rn.nn.compact
+            def __call__(self, x):
+                blocks = rn.STAGE_BLOCKS[self.depth]
+                x = rn.ConvBN(64, kernel=7, stride=2, dtype=self.dtype,
+                              name="stem")(x)
+                x = rn.nn.max_pool(x, (3, 3), strides=(2, 2),
+                                   padding=((1, 1), (1, 1)))
+                if self.upto == "stem":
+                    return [x]
+                outs = []
+                width, features = 64, 256
+                for stage, n_blocks in enumerate(blocks):
+                    stride = 1 if stage == 0 else 2
+                    x = rn.Bottleneck(width, features, stride=stride,
+                                      dtype=self.dtype,
+                                      name=f"res{stage + 2}_0")(x)
+                    scan = rn.nn.scan(rn._ScanBody,
+                                      variable_axes={"params": 0},
+                                      split_rngs={"params": True},
+                                      length=n_blocks - 1)
+                    x, _ = scan(width, features, dtype=self.dtype,
+                                name=f"res{stage + 2}_rest")(x, None)
+                    outs.append(x)
+                    width *= 2
+                    features *= 2
+                    if self.upto == f"res{stage + 2}":
+                        return outs
+                return outs
+
+        def run_backbone(bp, x, upto):
+            bu = _PartialResNet(cfg.depth, upto, dtype=cdt)
+            outs = bu.apply({"params": bp["bottom_up"]}, x)
+            if upto != "fpn":
+                return outs
+            fpn = rn.FPN(256, dtype=cdt)
+            return fpn.apply({"params": bp["fpn"]}, outs)
+
+        prev = 0.0
+        out = {}
+        norm = jax.jit(lambda t: normalize_bgr(t).astype(cdt))
+        xin = jax.device_put(jax.device_get(norm(tiles)), dev)
+        for upto in ("stem", "res2", "res3", "res4", "res5", "fpn"):
+            try:
+                def scalar(bp, x, _u=upto):
+                    o = run_backbone(bp, x, _u)
+                    leaf = o[-1] if isinstance(o, (list, tuple)) else o
+                    return leaf.astype(jnp.float32).sum()
+                f = jax.jit(scalar)
+
+                def go():
+                    float(f(bparams, xin))
+                go()  # compile
+                med, _ = median_ms(go, n=3)
+                out[upto] = {"cum_ms": round(med, 1),
+                             "delta_ms": round(med - prev, 1)}
+                prev = med
+                print(f"sweep[backbone]: {upto} {med:.1f}ms", file=sys.stderr)
+            except Exception as exc:
+                out[upto] = f"err:{str(exc)[:120]}"
+        record("backbone", out)
 
     return 0
 
