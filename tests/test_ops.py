@@ -302,24 +302,22 @@ class TestPatchROIAlign:
         out, n_over = multilevel_roi_align(fmaps, boxes, 7, (4, 8, 16, 32),
                                            return_overflow=True)
         assert np.isfinite(np.asarray(out)).all()
-        assert int(n_over) == n  # every strip outspans the patch
+        # FALLBACK_BUDGET strips were re-pooled exactly; the count is the
+        # number left truncated after the fixup
+        assert int(n_over) == n - FALLBACK_BUDGET
         report_overflow_host(int(n_over))
         assert OVERFLOW_STATS["events"] == 1
         assert OVERFLOW_STATS["boxes_beyond_budget"] == 8
 
-    def test_batched_budget_no_false_warning(self):
-        """The batched pooler re-pools up to FALLBACK_BUDGET * B batch-wide:
-        one image with > FALLBACK_BUDGET overflows in a batch whose TOTAL is
-        within the batch budget was pooled exactly — no warning; totals
-        beyond the batch budget warn by the batch-wide excess."""
+    def test_truncation_count_warns_precisely(self):
+        """roi_overflow counts boxes left truncated AFTER every fixup: zero
+        is silent, any positive count warns by exactly that amount."""
         from treedetection_tpu.ops.roi_align import (
-            FALLBACK_BUDGET, OVERFLOW_STATS, report_overflow_host)
-        B = 8
+            OVERFLOW_STATS, report_overflow_host)
         OVERFLOW_STATS.update(events=0, boxes_beyond_budget=0)
-        report_overflow_host(FALLBACK_BUDGET + 4, budget=FALLBACK_BUDGET * B)
+        report_overflow_host(0)
         assert OVERFLOW_STATS["events"] == 0
-        report_overflow_host(FALLBACK_BUDGET * B + 3,
-                             budget=FALLBACK_BUDGET * B)
+        report_overflow_host(3)
         assert OVERFLOW_STATS["events"] == 1
         assert OVERFLOW_STATS["boxes_beyond_budget"] == 3
 
@@ -426,3 +424,87 @@ class TestPatchROIAlign:
         ref = np.asarray(multilevel_roi_align_gather(fmaps, boxes, 14,
                                                      (4, 8, 16, 32)))
         assert np.allclose(fast, ref, atol=2e-5), np.abs(fast - ref).max()
+
+    def _batched_mixed_boxes(self, strips=True):
+        """(B=2, N=24) boxes spanning the patch classes: small (fit the
+        SMALL_PATCH window), large (25-28 cells on their level, need the
+        48-patch overlay), and — when ``strips`` — one high-aspect strip per
+        image (outspans even the large patch -> gather fallback)."""
+        rng = np.random.default_rng(30)
+        imgs = []
+        for b in range(2):
+            rows = []
+            for _ in range(18):     # small: 20-60 px -> <= 15 cells at P2
+                cx, cy = rng.uniform(40, 216, 2)
+                s = rng.uniform(20, 60)
+                rows.append([cx - s / 2, cy - s / 2, cx + s / 2, cy + s / 2])
+            for _ in range(5 if strips else 6):
+                # large: 100-110 px -> 25-28 cells at P2
+                cx, cy = rng.uniform(60, 196, 2)
+                s = rng.uniform(100, 110)
+                rows.append([cx - s / 2, cy - s / 2, cx + s / 2, cy + s / 2])
+            if strips:
+                y = rng.uniform(40, 200)
+                rows.append([0.0, y, 256.0, y + 20.0])  # aspect-12.8 strip
+            imgs.append(np.clip(np.asarray(rows, dtype=np.float32), 0, 256))
+        return jnp.asarray(np.stack(imgs))
+
+    def test_batched_overlay_interpret_matches_gather(self, monkeypatch):
+        """The two-class (small patch + large overlay) batched pooler must be
+        EXACT whenever the non-fitting count stays within the large budget:
+        parity with the per-image gather oracle across all three classes, and
+        zero truncation counts."""
+        from treedetection_tpu.ops.roi_align import (
+            multilevel_roi_align_batched, multilevel_roi_align_gather)
+        monkeypatch.setenv("TD_ROI_LARGE_FRAC", "0.5")  # budget >= non-fitting
+        fmaps1 = self._fmaps(seed=31)
+        fmaps2 = self._fmaps(seed=32)
+        fmaps = [jnp.stack([a, b]) for a, b in zip(fmaps1, fmaps2)]
+        boxes = self._batched_mixed_boxes()
+        fast, n_over = multilevel_roi_align_batched(
+            fmaps, boxes, 7, (4, 8, 16, 32), pallas=True,
+            force_interpret=True, return_overflow=True)
+        assert np.asarray(n_over).tolist() == [0, 0]
+        for b, fm in enumerate((fmaps1, fmaps2)):
+            ref = np.asarray(multilevel_roi_align_gather(
+                fm, boxes[b], 7, (4, 8, 16, 32)))
+            assert np.allclose(np.asarray(fast[b]), ref, atol=2e-5), \
+                np.abs(np.asarray(fast[b]) - ref).max()
+
+    def test_batched_overlay_beyond_budget_counted(self, monkeypatch):
+        """Non-fitting boxes beyond the large budget keep truncated
+        small-patch pooling — finite output, and the per-image count reports
+        exactly the boxes left truncated."""
+        from treedetection_tpu.ops.roi_align import (
+            multilevel_roi_align_batched)
+        monkeypatch.setenv("TD_ROI_LARGE_FRAC", "0.05")  # budget = 3 of 48
+        fmaps1 = self._fmaps(seed=33)
+        fmaps2 = self._fmaps(seed=34)
+        fmaps = [jnp.stack([a, b]) for a, b in zip(fmaps1, fmaps2)]
+        boxes = self._batched_mixed_boxes(strips=False)  # 6 need-large / img
+        out, n_over = multilevel_roi_align_batched(
+            fmaps, boxes, 7, (4, 8, 16, 32), pallas=True,
+            force_interpret=True, return_overflow=True)
+        assert np.isfinite(np.asarray(out)).all()
+        # 12 boxes want the large patch (2x6); ceil(48 * 0.05) = 3 get it;
+        # nothing outspans the large patch, so the gather net fixes none ->
+        # exactly 9 stay truncated at the small patch
+        assert int(np.asarray(n_over).sum()) == 9
+
+    def test_batched_overlay_disabled_matches_gather(self, monkeypatch):
+        """TD_ROI_SMALL=0 keeps the single-class 48-patch path."""
+        from treedetection_tpu.ops.roi_align import (
+            multilevel_roi_align_batched, multilevel_roi_align_gather)
+        monkeypatch.setenv("TD_ROI_SMALL", "0")
+        fmaps1 = self._fmaps(seed=35)
+        fmaps2 = self._fmaps(seed=36)
+        fmaps = [jnp.stack([a, b]) for a, b in zip(fmaps1, fmaps2)]
+        boxes = self._batched_mixed_boxes()
+        fast, n_over = multilevel_roi_align_batched(
+            fmaps, boxes, 7, (4, 8, 16, 32), pallas=True,
+            force_interpret=True, return_overflow=True)
+        assert np.asarray(n_over).tolist() == [0, 0]
+        for b, fm in enumerate((fmaps1, fmaps2)):
+            ref = np.asarray(multilevel_roi_align_gather(
+                fm, boxes[b], 7, (4, 8, 16, 32)))
+            assert np.allclose(np.asarray(fast[b]), ref, atol=2e-5)

@@ -216,6 +216,154 @@ def main(phases) -> int:
             os.environ.pop("TD_ROI_SLOTS", None)
             record(name, results)
 
+    if "roi2" in phases:
+        # two-class overlay pooler vs single-class 48-patch, both geometries
+        import importlib
+        ra = importlib.import_module("treedetection_tpu.ops.roi_align")
+        C = 256
+        hs = [256, 128, 64, 32]
+        strides = [4, 8, 16, 32]
+        fmaps = [jnp.asarray(
+            rng.normal(size=(batch, h, h, C)).astype(np.float32),
+            dtype=jnp.bfloat16) for h in hs]
+        fmaps = jax.device_put(fmaps, dev)
+
+        def mk_boxes(n_boxes, frac_large=0.15):
+            n_l = int(n_boxes * frac_large)
+            sizes_px = np.concatenate([
+                rng.uniform(16, 90, size=(batch, n_boxes - n_l)),
+                rng.uniform(100, 440, size=(batch, n_l))], axis=1)
+            cx = rng.uniform(0, 1024, size=(batch, n_boxes))
+            cy = rng.uniform(0, 1024, size=(batch, n_boxes))
+            arr = np.stack([np.clip(cx - sizes_px / 2, 0, 1023),
+                            np.clip(cy - sizes_px / 2, 0, 1023),
+                            np.clip(cx + sizes_px / 2, 1, 1024),
+                            np.clip(cy + sizes_px / 2, 1, 1024)], axis=-1)
+            return jax.device_put(jnp.asarray(arr, dtype=jnp.float32), dev)
+
+        results = {}
+        for name, res, n_boxes in (("box", 7, 1008), ("mask", 14, 104)):
+            boxes = mk_boxes(n_boxes)
+            for small in ("0", "16", "24", "32"):
+                os.environ["TD_ROI_SMALL"] = small
+
+                @jax.jit
+                def _pool(fm, bx, _r=res):
+                    return ra.multilevel_roi_align_batched(
+                        list(fm), bx, _r, strides).astype(jnp.float32).sum()
+
+                try:
+                    float(_pool(fmaps, boxes))  # compile
+                    med, _ = median_ms(lambda: float(_pool(fmaps, boxes)), n=3)
+                    results[f"{name}_s{small}"] = round(med, 1)
+                    print(f"sweep[roi2]: {name} small={small} {med:.1f}ms",
+                          file=sys.stderr)
+                except Exception as exc:
+                    results[f"{name}_s{small}"] = f"err:{str(exc)[:80]}"
+            os.environ.pop("TD_ROI_SMALL", None)
+        record("roi2", results)
+
+    if "span" in phases:
+        # REAL-data span distribution: the example checkpoint on sample tiles
+        # -> what fraction of box-pool proposals / mask-pool detections fit
+        # the SMALL_PATCH window (validates TD_ROI_LARGE_FRAC's default)
+        sys.path.insert(0, os.path.join(REPO, "example"))
+        from example import ensure_sample_data
+        ensure_sample_data()
+        from treedetection_tpu.geo import GeoTiff
+        from treedetection_tpu.models.convert import load_checkpoint
+        from treedetection_tpu.models.mask_rcnn import FPN_STRIDES
+        from treedetection_tpu.models.rpn import generate_proposals
+        from treedetection_tpu.models.roi_heads import box_inference
+        import importlib
+        ra = importlib.import_module("treedetection_tpu.ops.roi_align")
+        from treedetection_tpu.ops.image import resize_bilinear
+
+        scfg = MaskRCNNConfig(depth=50, input_size=size, bf16=True,
+                              rpn_approx_topk_from=16384)
+        from treedetection_tpu.models.mask_rcnn import MaskRCNN
+        smodel = MaskRCNN(scfg)
+        sparams = load_checkpoint(
+            os.path.join(REPO, "example", "data", "model_full.npz"),
+            depth=50, param_dtype=None)
+        sparams = jax.device_put(sparams, dev)
+        g = GeoTiff(os.path.join(REPO, "example", "data", "rgb",
+                                 "324125317.tif"))
+        full = g.read()[:, :, :3]
+        tiles_l = []
+        rng2 = np.random.default_rng(1)
+        for _ in range(batch):
+            y0, x0 = rng2.integers(0, full.shape[0] - 90, 2)
+            tiles_l.append(full[y0:y0 + 90, x0:x0 + 90, :3])
+        tiles_r = np.stack(tiles_l).astype(np.uint8)
+        tiles_d = jax.device_put(tiles_r, dev)
+
+        hs4 = np.asarray([size // s for s in FPN_STRIDES[:4]])
+
+        def spans_of(flat_boxes, resolution):
+            _, _, ox, sy, sx, _, _ = ra._patch_pool_prep(
+                flat_boxes, hs4, hs4, FPN_STRIDES[:4], resolution, 2, 4)
+            ox_al = (ox // 8) * 8
+            sx_al = sx + (ox - ox_al).astype(flat_boxes.dtype)[:, None]
+            return jnp.max(sy, axis=1), jnp.max(sx_al, axis=1)
+
+        @jax.jit
+        def _span_stats(p, t):
+            c = scfg
+            x = jax.vmap(lambda im: resize_bilinear(
+                im.astype(jnp.float32), size, size))(t)
+            x = normalize_bgr(x)
+            feats = smodel.apply(p, x, method=lambda self, im: self.backbone(
+                im.astype(c.dtype)))
+            logits, deltas = smodel.apply(
+                p, feats, method=lambda self, f: self.rpn_head(f))
+            from treedetection_tpu.models.anchors import pyramid_anchors_jnp
+            anchors = pyramid_anchors_jnp(
+                c.input_size, FPN_STRIDES,
+                sizes=c.anchor_sizes, ratios=c.anchor_ratios)
+            props = jax.vmap(lambda lg, dl: generate_proposals(
+                lg, dl, anchors, c.input_size, c.rpn_pre_nms_topk,
+                c.rpn_post_nms_topk, c.rpn_nms_threshold,
+                approx_topk_from=c.rpn_approx_topk_from))(logits, deltas)
+            pb = props.boxes.reshape(-1, 4)
+            sy_p, sx_p = spans_of(pb, 7)
+            # detections via the real box head
+            feats4 = [f.astype(c.dtype) for f in feats[:4]]
+            pooled = ra.multilevel_roi_align_batched(
+                feats4, props.boxes, c.box_pool, FPN_STRIDES[:4])
+            B, K = props.boxes.shape[:2]
+            cl, bd = smodel.apply(
+                p, pooled.reshape((B * K,) + pooled.shape[2:]).astype(c.dtype),
+                method=lambda self, x_: self.box_head(x_))
+            det = jax.vmap(lambda cl_, bd_, pb_, ps_: box_inference(
+                cl_, bd_, pb_, ps_, c.input_size, c.score_threshold,
+                c.nms_threshold, c.max_detections))(
+                cl.reshape(B, K, -1), bd.reshape(B, K, -1),
+                props.boxes, props.scores)
+            db = det.boxes.reshape(-1, 4)
+            sy_d, sx_d = spans_of(db, 14)
+            return (sy_p, sx_p, props.scores.reshape(-1),
+                    sy_d, sx_d, det.valid.reshape(-1))
+
+        sy_p, sx_p, psc, sy_d, sx_d, dval = [
+            np.asarray(a) for a in jax.device_get(
+                _span_stats(sparams, tiles_d))]
+        pvalid = np.isfinite(psc)
+        out = {}
+        for small in (16, 24, 32):
+            nl_p = ((sy_p > small - 1) | (sx_p > small + 7)) & pvalid
+            nl_d = ((sy_d > small - 1) | (sx_d > small + 7)) & dval
+            out[f"prop_needlarge_s{small}"] = round(
+                float(nl_p.sum() / max(pvalid.sum(), 1)), 4)
+            out[f"det_needlarge_s{small}"] = round(
+                float(nl_d.sum() / max(dval.sum(), 1)), 4)
+        out["n_props"] = int(pvalid.sum())
+        out["n_dets"] = int(dval.sum())
+        out["prop_span_p50_p90_max"] = [
+            round(float(np.percentile(np.maximum(sy_p, sx_p)[pvalid], q)), 1)
+            for q in (50, 90, 100)]
+        record("span", out)
+
     if "backbone" in phases:
         # cumulative sub-stage timing inside the backbone: where do the
         # ~31 ms (relay-corrected) of backbone+rpn actually go?

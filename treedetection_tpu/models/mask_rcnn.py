@@ -70,9 +70,10 @@ class ModelOutput(NamedTuple):
     masks: jnp.ndarray      # (B, D, 28, 28) uint8 sigmoid probability * 255
                             # (quantized on device: 4x less device->host fetch)
     roi_overflow: jnp.ndarray  # (B,) int32 — max per-pooling-call count of
-                            # boxes outspanning the ROIAlign patch; hosts pass
-                            # it to ops.roi_align.report_overflow_host so
-                            # beyond-budget truncation is never silent
+                            # boxes whose ROIAlign pooling stayed TRUNCATED
+                            # after every in-program fixup; hosts pass it to
+                            # ops.roi_align.report_overflow_host so the
+                            # degradation is never silent
 
 
 class MaskRCNN(nn.Module):

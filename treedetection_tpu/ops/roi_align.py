@@ -178,6 +178,34 @@ PATCH = 48
 # pooling (bounded error on the overhanging bins only).
 FALLBACK_BUDGET = 16
 
+# Two-class patch pooling (batched pooler only).  The 48x56 patch covers the
+# worst legal box per level, but the kernel is HBM-bandwidth bound (~1.38 MB
+# per box at C=256 bf16) and MOST boxes — tree crowns are 25-75 px at 0.2 m
+# GSD, 6-19 cells on their assigned level — fit a much smaller window.  The
+# batched pooler therefore pools EVERY box with a (SMALL_PATCH,
+# SMALL_PATCH+8) patch (~0.39 MB, 3.5x less traffic) and re-pools the boxes
+# that don't fit through the full-size kernel within a static budget of
+# ``ceil(LARGE_FRAC * N)`` boxes (top-k selection, exactly like the gather
+# fallback).  Accuracy is distribution-independent as long as the non-fitting
+# count stays within the budget; beyond it the excess keeps truncated small-
+# patch pooling and is counted in the returned inexact tally (never silent).
+# Env overrides: TD_ROI_SMALL (rows; 0 disables the overlay),
+# TD_ROI_LARGE_FRAC.
+SMALL_PATCH = 24
+LARGE_FRAC = 0.125
+
+
+def _overlay_params(n: int) -> Tuple[int, int]:
+    """(small_patch, large_budget) for an n-box batched pooling call;
+    small_patch == 0 disables the two-class overlay."""
+    import os as _os
+    small = int(_os.environ.get("TD_ROI_SMALL", str(SMALL_PATCH)))
+    if small <= 0 or small >= PATCH:
+        return 0, 0
+    frac = float(_os.environ.get("TD_ROI_LARGE_FRAC", str(LARGE_FRAC)))
+    budget = min(n, max(1, int(np.ceil(n * frac))))
+    return small, budget
+
 
 def _hat_matrix(samples: jnp.ndarray, size: int) -> jnp.ndarray:
     """(..., S) fractional sample coords -> (..., S, size) bilinear weights.
@@ -196,25 +224,25 @@ import logging
 
 _logger = logging.getLogger("treedetection_tpu")
 
-# Host-visible tally of gather-fallback overflows beyond FALLBACK_BUDGET —
-# a silent-degradation counter.  The jitted pooler returns the per-call
-# overflow count (``return_overflow=True``, surfaced as
-# ``ModelOutput.roi_overflow``); hosts feed fetched counts to
+# Host-visible tally of truncated poolings — a silent-degradation counter.
+# The jitted pooler returns the per-call count of boxes whose pooling stayed
+# TRUNCATED after every in-program fixup (large-patch overlay + gather
+# fallback) — ``return_overflow=True``, surfaced as
+# ``ModelOutput.roi_overflow``.  Hosts feed fetched counts to
 # :func:`report_overflow_host`, which warns and bumps this tally.
 OVERFLOW_STATS = {"events": 0, "boxes_beyond_budget": 0}
 
 
 def report_overflow_host(n_over: int, context: str = "",
-                         budget: int = FALLBACK_BUDGET) -> None:
-    """HOST-side check of a fetched overflow count (``ModelOutput.
-    roi_overflow``): warn + tally when more boxes outspanned the patch than
-    the fallback budget could re-pool exactly.
+                         budget: int = 0) -> None:
+    """HOST-side check of a fetched truncation count (``ModelOutput.
+    roi_overflow``): warn + tally when any box's pooling stayed truncated.
 
-    ``budget`` must match the pooling call that produced the count: the
-    single-image pooler re-pools up to ``FALLBACK_BUDGET`` per call, the
-    batched pooler up to ``FALLBACK_BUDGET * B`` batch-wide — so batched
-    counts must be summed over the batch and checked against the batch-wide
-    budget, never per image.
+    The in-program count already accounts for every fixup budget (the
+    large-patch overlay's ``LARGE_FRAC`` selection and the gather fallback's
+    ``FALLBACK_BUDGET``), so any positive count means real degradation —
+    ``budget`` is 0 by default and exists only for callers that tolerate a
+    known number of truncations.
 
     Deliberately not an in-program ``jax.debug.callback``: host callbacks make
     the XLA executable unserializable, which would silently disable the
@@ -226,10 +254,10 @@ def report_overflow_host(n_over: int, context: str = "",
     OVERFLOW_STATS["events"] += 1
     OVERFLOW_STATS["boxes_beyond_budget"] += n_over - budget
     _logger.warning(
-        f"ROIAlign patch overflow{context}: {n_over} boxes outspan the "
-        f"{PATCH}px patch but only {budget} get exact gather "
-        f"re-pooling; {n_over - budget} keep truncated pooling "
-        f"(elongated boxes, bounded error on overhanging bins)")
+        f"ROIAlign patch overflow{context}: {n_over - budget} boxes exceeded "
+        f"every exact re-pooling budget and keep truncated pooling (bounded "
+        f"error on the overhanging bins; raise TD_ROI_LARGE_FRAC or set "
+        f"TD_ROI_SMALL=0 to eliminate)")
 
 
 def _patch_pool_prep(flat_boxes: jnp.ndarray, hs, ws,
@@ -290,10 +318,17 @@ def _launch_patch_kernel(kpadded, meta: jnp.ndarray, ay_f: jnp.ndarray,
                          ax_f: jnp.ndarray, resolution: int,
                          force_interpret: bool) -> jnp.ndarray:
     """Pad to a chunk multiple and launch the Pallas patch-DMA kernel
-    (chunk size / DMA pipeline depth env-tunable)."""
+    (chunk size / DMA pipeline depth env-tunable).
+
+    The per-box patch geometry comes from the hat-matrix widths: ``ay_f``
+    (N, R, patch) rows and ``ax_f`` (N, R, patch + 8) columns — callers pick
+    the patch CLASS (small/large) by slicing the hat matrices.
+    """
     from treedetection_tpu.ops.pallas import roi_align_kernel as _rk
     import os as _os
     n = meta.shape[0]
+    patch = ay_f.shape[-1]
+    assert ax_f.shape[-1] == patch + 8, (ay_f.shape, ax_f.shape)
     chunk_k = 128 if resolution <= 8 else 32
     if _os.environ.get("TD_ROI_CHUNK"):
         chunk_k = int(_os.environ["TD_ROI_CHUNK"])
@@ -308,7 +343,7 @@ def _launch_patch_kernel(kpadded, meta: jnp.ndarray, ay_f: jnp.ndarray,
         ax_p = jnp.pad(ax_f, ((0, pad_n), (0, 0), (0, 0)))
     return _rk.roi_pool_patches(
         kpadded, meta, ay_p.astype(jnp.float32), ax_p.astype(jnp.float32),
-        resolution, PATCH, chunk_k, interpret=force_interpret,
+        resolution, patch, chunk_k, interpret=force_interpret,
         slots=slots_k)[:n]
 
 
@@ -397,6 +432,7 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
         meta = jnp.stack([levels, oy, ox_al], axis=1).astype(jnp.int32)
         out = _launch_patch_kernel(kpadded, meta, ay_f, ax_k, resolution,
                                    force_interpret)
+        inexact = overflow_k
         m = min(FALLBACK_BUDGET, n)
         if m > 0:
             flag, idx = jax.lax.top_k(overflow_k.astype(jnp.float32), m)
@@ -405,8 +441,10 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
             take = (flag > 0)[:, None, None, None]
             out = out.at[idx].set(jnp.where(take, fb.astype(out.dtype),
                                             out[idx]))
+            sel = jnp.zeros((n,), bool).at[idx].set(flag > 0)
+            inexact = overflow_k & ~sel
         if return_overflow:
-            return out, jnp.sum(overflow_k.astype(jnp.int32))
+            return out, jnp.sum(inexact.astype(jnp.int32))
         return out
 
     starts = (base_l[:, None] + (oy[:, None]
@@ -441,6 +479,7 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     # exact-pool fixup for out-of-span boxes: re-pool up to FALLBACK_BUDGET of
     # them through the gather path (static shapes; top_k picks the overflow
     # boxes) and scatter the results back.
+    inexact = overflow
     m = min(FALLBACK_BUDGET, n)
     if m > 0:
         flag, idx = jax.lax.top_k(overflow.astype(jnp.float32), m)
@@ -448,8 +487,10 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
                                          strides, sampling_ratio)
         take = (flag > 0)[:, None, None, None]
         out = out.at[idx].set(jnp.where(take, fb.astype(out.dtype), out[idx]))
+        sel = jnp.zeros((n,), bool).at[idx].set(flag > 0)
+        inexact = overflow & ~sel
     if return_overflow:
-        return out, jnp.sum(overflow.astype(jnp.int32))
+        return out, jnp.sum(inexact.astype(jnp.int32))
     return out
 
 
@@ -471,7 +512,12 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
     and 15.3 -> ~4 ms for 8x100 mask pools on v5e.
 
     Identical math to :func:`multilevel_roi_align` (same hat matrices, same
-    fallback semantics with a batch-wide budget of ``B * FALLBACK_BUDGET``).
+    gather fallback with a batch-wide budget of ``B * FALLBACK_BUDGET``), plus
+    a two-class patch scheme: every box pools through a small
+    (``SMALL_PATCH``) patch and a static top-k of non-fitting boxes re-pools
+    through the full 48-patch kernel (see the ``SMALL_PATCH`` comment).  The
+    returned overflow counts are per-image tallies of boxes whose pooling
+    stayed truncated after BOTH fixups (0 == every box exact).
     On CPU (no Pallas) falls back to a vmap of the exact gather path.
     """
     B, N = boxes.shape[0], boxes.shape[1]
@@ -511,8 +557,9 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
     sx_al = sx + (ox - ox_al).astype(flat_boxes.dtype)[:, None]
     ay_f, ax_f = _fold_hats(sy, sx_al, valid_y, valid_x, resolution,
                             sampling_ratio, cpatch)
-    overflow = (jnp.max(sy, axis=1) > PATCH - 1) | \
-               (jnp.max(sx_al, axis=1) > cpatch - 1)
+    span_y = jnp.max(sy, axis=1)
+    span_x = jnp.max(sx_al, axis=1)
+    overflow = (span_y > PATCH - 1) | (span_x > cpatch - 1)
 
     # row-concatenated per-level buffers: image b of level l starts at row
     # b * (H_l + PATCH); the PATCH bottom padding keeps every patch slice
@@ -523,9 +570,33 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
         for f in fmaps)
     row_base = img * (jnp.asarray(hs + PATCH, dtype=jnp.int32)[levels])
     meta = jnp.stack([levels, row_base + oy, ox_al], axis=1).astype(jnp.int32)
-    out = _launch_patch_kernel(kpadded, meta, ay_f, ax_f, resolution,
-                               force_interpret)
 
+    # two-class pooling: small patches for everyone (the kernel is HBM
+    # bandwidth bound and crowns are small), a large-patch overlay re-pools
+    # the top-``large_budget`` non-fitting boxes exactly.  Hat weights beyond
+    # a FITTING box's span are exactly zero, so slicing the hat matrices IS
+    # the small-patch pooling — identical math, 3.5x less DMA traffic.
+    small, large_budget = _overlay_params(n)
+    trunc = jnp.zeros((n,), bool)
+    if small and large_budget < n:
+        need_large = (span_y > small - 1) | (span_x > small + 8 - 1)
+        out = _launch_patch_kernel(kpadded, meta, ay_f[:, :, :small],
+                                   ax_f[:, :, :small + 8], resolution,
+                                   force_interpret)
+        flag_l, idx_l = jax.lax.top_k(need_large.astype(jnp.float32),
+                                      large_budget)
+        out_l = _launch_patch_kernel(kpadded, meta[idx_l], ay_f[idx_l],
+                                     ax_f[idx_l], resolution, force_interpret)
+        take_l = (flag_l > 0)[:, None, None, None]
+        out = out.at[idx_l].set(jnp.where(take_l, out_l.astype(out.dtype),
+                                          out[idx_l]))
+        sel_l = jnp.zeros((n,), bool).at[idx_l].set(flag_l > 0)
+        trunc = need_large & ~sel_l     # still truncated at the small patch
+    else:
+        out = _launch_patch_kernel(kpadded, meta, ay_f, ax_f, resolution,
+                                   force_interpret)
+
+    inexact = trunc | overflow
     m = min(FALLBACK_BUDGET * B, n)
     if m > 0:
         flag, idx = jax.lax.top_k(overflow.astype(jnp.float32), m)
@@ -534,10 +605,12 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
                                   strides, sampling_ratio)
         take = (flag > 0)[:, None, None, None]
         out = out.at[idx].set(jnp.where(take, fb.astype(out.dtype), out[idx]))
+        sel_g = jnp.zeros((n,), bool).at[idx].set(flag > 0)
+        inexact = (trunc | overflow) & ~sel_g
 
     out = out.reshape(B, N, resolution, resolution, C)
     if return_overflow:
-        per_img = jnp.sum(overflow.reshape(B, N).astype(jnp.int32), axis=1)
+        per_img = jnp.sum(inexact.reshape(B, N).astype(jnp.int32), axis=1)
         return out, per_img
     return out
 

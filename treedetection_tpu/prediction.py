@@ -517,8 +517,7 @@ class Predictor:
         def flush(batch_items, device_out, sizes, batch_input):
             nonlocal written
             import time as _time
-            from treedetection_tpu.ops.roi_align import (
-                FALLBACK_BUDGET, report_overflow_host)
+            from treedetection_tpu.ops.roi_align import report_overflow_host
             t0 = _time.time()
             # Dispatch is async: a worker that crashes DURING execution
             # surfaces its error here at the fetch, not in run_batch's
@@ -546,13 +545,11 @@ class Predictor:
                                       self.cfg.mask_pool * 2)
             t1 = _time.time()
             stats["fetch_s"] = stats.get("fetch_s", 0.0) + (t1 - t0)
-            # the batched pooler's exact-gather budget is batch-wide
-            # (FALLBACK_BUDGET * B): truncation is a property of the batch
-            # total, not of any single image's count
-            B = int(out.roi_overflow.shape[0])
+            # roi_overflow counts boxes whose pooling stayed truncated after
+            # every in-program fixup (large-patch overlay + gather fallback);
+            # any positive total is real, warnable degradation
             report_overflow_host(int(out.roi_overflow.sum()),
-                                 f" (batch of {batch_items[0]['tile_id']})",
-                                 budget=FALLBACK_BUDGET * B)
+                                 f" (batch of {batch_items[0]['tile_id']})")
             for k, it in enumerate(batch_items):
                 self._write_tile_predictions(
                     it, out.boxes[k], out.scores[k], out.masks[k],
