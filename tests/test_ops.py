@@ -478,6 +478,7 @@ class TestPatchROIAlign:
         from treedetection_tpu.ops.roi_align import (
             multilevel_roi_align_batched)
         monkeypatch.setenv("TD_ROI_LARGE_FRAC", "0.05")  # budget = 3 of 48
+        monkeypatch.setenv("TD_ROI_SMALL", "24")  # 20-60px fit, 100-110 don't
         fmaps1 = self._fmaps(seed=33)
         fmaps2 = self._fmaps(seed=34)
         fmaps = [jnp.stack([a, b]) for a, b in zip(fmaps1, fmaps2)]

@@ -454,11 +454,19 @@ def test_bf16_drift_bounded():
 def test_pallas_roi_align_full_model_oracle(monkeypatch):
     """Full model with the Pallas patch-DMA ROIAlign active (interpret mode
     on CPU) == torch oracle: pins the production pooling path inside the
-    composed program, not just the kernel in isolation."""
+    composed program, not just the kernel in isolation.
+
+    The two-class overlay runs with an ample large budget: at this 128^2 test
+    scale most boxes exceed the small window (P2 is only 32 cells wide), so
+    the production LARGE_FRAC would truncate — budget ADEQUACY at production
+    scale is a separate, monitored property (ModelOutput.roi_overflow counts
+    degraded valid detections); this test pins the overlay + fallback MATH.
+    """
     import functools
     from treedetection_tpu.models import mask_rcnn as mr
     from treedetection_tpu.ops.roi_align import (
         multilevel_roi_align_batched as mrab)
+    monkeypatch.setenv("TD_ROI_LARGE_FRAC", "0.9")
     monkeypatch.setattr(
         mr, "multilevel_roi_align_batched",
         functools.partial(mrab, pallas=True, force_interpret=True))

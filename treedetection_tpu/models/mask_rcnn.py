@@ -69,9 +69,11 @@ class ModelOutput(NamedTuple):
     valid: jnp.ndarray      # (B, D) bool
     masks: jnp.ndarray      # (B, D, 28, 28) uint8 sigmoid probability * 255
                             # (quantized on device: 4x less device->host fetch)
-    roi_overflow: jnp.ndarray  # (B,) int32 — max per-pooling-call count of
-                            # boxes whose ROIAlign pooling stayed TRUNCATED
-                            # after every in-program fixup; hosts pass it to
+    roi_overflow: jnp.ndarray  # (B,) int32 — per-image count of VALID
+                            # detections whose ROIAlign pooling (box pool,
+                            # traced via the detection's source proposal, or
+                            # mask pool) stayed TRUNCATED after every
+                            # in-program fixup; hosts pass it to
                             # ops.roi_align.report_overflow_host so the
                             # degradation is never silent
 
@@ -122,9 +124,9 @@ class MaskRCNN(nn.Module):
         # the gather traffic; the interpolation error is far below the
         # mask threshold granularity.
         feats4 = [f.astype(c.dtype) for f in feats[:4]]
-        pooled, box_of = multilevel_roi_align_batched(
+        pooled, box_inexact = multilevel_roi_align_batched(
             feats4, props.boxes, c.box_pool, FPN_STRIDES[:4],
-            return_overflow=True)                           # (B, K, R, R, C)
+            return_inexact_mask=True)                       # (B, K, R, R, C)
         cls_logits, box_deltas = self.box_head(
             pooled.reshape((B * K,) + pooled.shape[2:]).astype(c.dtype))
         cls_logits = cls_logits.reshape(B, K, -1)
@@ -137,18 +139,25 @@ class MaskRCNN(nn.Module):
         )(cls_logits, box_deltas, props.boxes, props.scores)
         D = det.boxes.shape[1]
 
-        mask_pooled, mask_of = multilevel_roi_align_batched(
+        mask_pooled, mask_inexact = multilevel_roi_align_batched(
             feats4, det.boxes, c.mask_pool, FPN_STRIDES[:4],
-            return_overflow=True)                           # (B, D, r, r, C)
+            return_inexact_mask=True)                       # (B, D, r, r, C)
         mask_logits = self.mask_head(
             mask_pooled.reshape((B * D,) + mask_pooled.shape[2:])
             .astype(c.dtype))
         probs = jax.nn.sigmoid(mask_logits[..., 0])         # (B*D, 28, 28)
         masks = jnp.round(probs * 255.0).astype(jnp.uint8)
         masks = masks.reshape((B, D) + masks.shape[1:])
+        # degraded-output counter: a VALID detection whose box-pool features
+        # (traced via det.src) or mask-pool features were truncated.  Junk
+        # proposals that never survive scoring don't count — the score-aware
+        # overlay budget deliberately spends exactness on the top scorers.
+        det_box_trunc = jnp.take_along_axis(box_inexact, det.src, axis=1)
+        degraded = det.valid & (det_box_trunc | mask_inexact)
         return ModelOutput(boxes=det.boxes, scores=det.scores,
                            classes=det.classes, valid=det.valid, masks=masks,
-                           roi_overflow=jnp.maximum(box_of, mask_of))
+                           roi_overflow=degraded.sum(axis=1)
+                           .astype(jnp.int32))
 
 
 def create_model(cfg: Optional[MaskRCNNConfig] = None,

@@ -60,6 +60,9 @@ class Detections(NamedTuple):
     scores: jnp.ndarray   # (D,) softmax prob; 0 for padded slots
     classes: jnp.ndarray  # (D,) int32
     valid: jnp.ndarray    # (D,) bool
+    src: jnp.ndarray      # (D,) int32 — index of the source proposal (lets
+                          # the model trace detection-level pooling quality
+                          # back to the box-pool call)
 
 
 def box_inference(cls_logits: jnp.ndarray, box_deltas: jnp.ndarray,
@@ -87,4 +90,5 @@ def box_inference(cls_logits: jnp.ndarray, box_deltas: jnp.ndarray,
         scores=jnp.where(valid, top_scores, 0.0),
         classes=jnp.zeros(max_detections, dtype=jnp.int32),
         valid=valid,
+        src=idx.astype(jnp.int32),
     )

@@ -68,8 +68,14 @@ def generate_proposals(logits: Sequence[jnp.ndarray],
 
     # NMS runs per level (exactly what detectron2's level-offset batched NMS
     # computes) so the IoU matrices stay at K_l^2 instead of (sum K_l)^2 —
-    # a ~25x cut in NMS memory traffic for the 5-level pyramid.
+    # a ~25x cut in NMS memory traffic for the 5-level pyramid.  The levels
+    # are PADDED to one static K and stacked so a single vmapped nms_mask
+    # (ONE while_loop) covers all of them: five sequential while_loops of
+    # small latency-bound sweeps collapse into one loop over 5x-wider
+    # tensors, with identical per-level greedy semantics (padded slots carry
+    # -inf scores and are never kept).
     level_boxes, level_scores = [], []
+    K = min(pre_nms_topk, max(an.shape[0] for an in anchors))
     for lvl, (lg, dl, an) in enumerate(zip(logits, deltas, anchors)):
         n = an.shape[0]
         scores = lg.reshape(n).astype(jnp.float32)
@@ -86,11 +92,17 @@ def generate_proposals(logits: Sequence[jnp.ndarray],
             wh_ok = ((boxes[:, 2] - boxes[:, 0]) >= min_size) & \
                     ((boxes[:, 3] - boxes[:, 1]) >= min_size)
             top_scores = jnp.where(wh_ok, top_scores, -jnp.inf)
-        keep = nms_mask(boxes, top_scores, nms_threshold)
+        if k < K:
+            boxes = jnp.pad(boxes, ((0, K - k), (0, 0)))
+            top_scores = jnp.pad(top_scores, (0, K - k),
+                                 constant_values=-jnp.inf)
         level_boxes.append(boxes)
-        level_scores.append(jnp.where(keep, top_scores, -jnp.inf))
+        level_scores.append(top_scores)
 
-    all_boxes = jnp.concatenate(level_boxes)
-    all_scores = jnp.concatenate(level_scores)
+    lb = jnp.stack(level_boxes)                       # (L, K, 4)
+    ls = jnp.stack(level_scores)                      # (L, K)
+    keep = jax.vmap(lambda b, s: nms_mask(b, s, nms_threshold))(lb, ls)
+    all_boxes = lb.reshape(-1, 4)
+    all_scores = jnp.where(keep, ls, -jnp.inf).reshape(-1)
     top_scores, idx = jax.lax.top_k(all_scores, post_nms_topk)
     return Proposals(boxes=all_boxes[idx], scores=top_scores)

@@ -182,24 +182,30 @@ FALLBACK_BUDGET = 16
 # worst legal box per level, but the kernel is HBM-bandwidth bound (~1.38 MB
 # per box at C=256 bf16) and MOST boxes — tree crowns are 25-75 px at 0.2 m
 # GSD, 6-19 cells on their assigned level — fit a much smaller window.  The
-# batched pooler therefore pools EVERY box with a (SMALL_PATCH,
-# SMALL_PATCH+8) patch (~0.39 MB, 3.5x less traffic) and re-pools the boxes
-# that don't fit through the full-size kernel within a static budget of
-# ``ceil(LARGE_FRAC * N)`` boxes (top-k selection, exactly like the gather
-# fallback).  Accuracy is distribution-independent as long as the non-fitting
-# count stays within the budget; beyond it the excess keeps truncated small-
-# patch pooling and is counted in the returned inexact tally (never silent).
+# batched pooler therefore pools EVERY box with a small (rows, rows+8) patch
+# (16 rows for the 7x7 box pool ~= 7x less traffic, 32 for the 14x14 mask
+# pool; TPU-measured optima) and re-pools the boxes that don't fit through
+# the full-size kernel within a static budget of ``ceil(LARGE_FRAC * N)``
+# boxes.  The budget's top-k selection is SCORE-AWARE by construction:
+# proposals arrive score-descending and top_k breaks ties toward lower
+# indices, so the budget always covers the highest-scoring non-fitting boxes
+# first — the ones that can become detections.  Compute cost is
+# distribution-INDEPENDENT (static shapes); beyond-budget boxes keep
+# truncated small-patch pooling, flagged per box in the returned inexact
+# mask (never silent — the model counts truncated VALID DETECTIONS).
 # Env overrides: TD_ROI_SMALL (rows; 0 disables the overlay),
 # TD_ROI_LARGE_FRAC.
-SMALL_PATCH = 24
-LARGE_FRAC = 0.125
+SMALL_PATCH_BOX = 16     # resolution <= 8 (7x7 box pool)
+SMALL_PATCH_MASK = 32    # resolution > 8 (14x14 mask pool)
+LARGE_FRAC = 0.25
 
 
-def _overlay_params(n: int) -> Tuple[int, int]:
+def _overlay_params(n: int, resolution: int) -> Tuple[int, int]:
     """(small_patch, large_budget) for an n-box batched pooling call;
     small_patch == 0 disables the two-class overlay."""
     import os as _os
-    small = int(_os.environ.get("TD_ROI_SMALL", str(SMALL_PATCH)))
+    default = SMALL_PATCH_BOX if resolution <= 8 else SMALL_PATCH_MASK
+    small = int(_os.environ.get("TD_ROI_SMALL", str(default)))
     if small <= 0 or small >= PATCH:
         return 0, 0
     frac = float(_os.environ.get("TD_ROI_LARGE_FRAC", str(LARGE_FRAC)))
@@ -500,7 +506,8 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
                                  sampling_ratio: int = 2,
                                  pallas: Optional[bool] = None,
                                  force_interpret: bool = False,
-                                 return_overflow: bool = False):
+                                 return_overflow: bool = False,
+                                 return_inexact_mask: bool = False):
     """Whole-batch multilevel ROIAlign: ``fmaps[l]`` (B, H_l, W_l, C),
     ``boxes`` (B, N, 4) -> (B, N, R, R, C).
 
@@ -513,11 +520,13 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
 
     Identical math to :func:`multilevel_roi_align` (same hat matrices, same
     gather fallback with a batch-wide budget of ``B * FALLBACK_BUDGET``), plus
-    a two-class patch scheme: every box pools through a small
-    (``SMALL_PATCH``) patch and a static top-k of non-fitting boxes re-pools
-    through the full 48-patch kernel (see the ``SMALL_PATCH`` comment).  The
-    returned overflow counts are per-image tallies of boxes whose pooling
-    stayed truncated after BOTH fixups (0 == every box exact).
+    a two-class patch scheme: every box pools through a small patch and a
+    static, score-aware top-k of non-fitting boxes re-pools through the full
+    48-patch kernel (see the ``SMALL_PATCH_BOX`` comment).
+    ``return_overflow`` appends per-image tallies of boxes whose pooling
+    stayed truncated after BOTH fixups (0 == every box exact);
+    ``return_inexact_mask`` appends the underlying (B, N) bool mask instead
+    (the model uses it to count truncated VALID DETECTIONS only).
     On CPU (no Pallas) falls back to a vmap of the exact gather path.
     """
     B, N = boxes.shape[0], boxes.shape[1]
@@ -538,6 +547,8 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
             return multilevel_roi_align_gather(
                 f_img, args[L], resolution, strides, sampling_ratio)
         out = jax.vmap(per_image)(*fmaps, boxes)
+        if return_inexact_mask:
+            return out, jnp.zeros((B, N), bool)
         if return_overflow:
             return out, jnp.zeros((B,), jnp.int32)
         return out
@@ -575,8 +586,8 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
     # bandwidth bound and crowns are small), a large-patch overlay re-pools
     # the top-``large_budget`` non-fitting boxes exactly.  Hat weights beyond
     # a FITTING box's span are exactly zero, so slicing the hat matrices IS
-    # the small-patch pooling — identical math, 3.5x less DMA traffic.
-    small, large_budget = _overlay_params(n)
+    # the small-patch pooling — identical math, 3.5-7x less DMA traffic.
+    small, large_budget = _overlay_params(n, resolution)
     trunc = jnp.zeros((n,), bool)
     if small and large_budget < n:
         need_large = (span_y > small - 1) | (span_x > small + 8 - 1)
@@ -609,6 +620,8 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
         inexact = (trunc | overflow) & ~sel_g
 
     out = out.reshape(B, N, resolution, resolution, C)
+    if return_inexact_mask:
+        return out, inexact.reshape(B, N)
     if return_overflow:
         per_img = jnp.sum(inexact.reshape(B, N).astype(jnp.int32), axis=1)
         return out, per_img
