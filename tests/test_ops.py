@@ -346,6 +346,40 @@ class TestPatchROIAlign:
         assert out.roi_overflow.shape == (1,)
         assert out.roi_overflow.dtype == jnp.int32
 
+    def test_degraded_counter_counts_valid_detections_only(self, monkeypatch):
+        """roi_overflow == per-image count of VALID detections whose box-pool
+        (traced via the detection's source proposal) OR mask-pool features
+        stayed truncated; invalid (padded) detection slots never count."""
+        import functools
+        from treedetection_tpu.models import mask_rcnn as mr
+        real = mr.multilevel_roi_align_batched
+
+        def fake(box_trunc, mask_trunc, fmaps, boxes, res, strides,
+                 return_inexact_mask=False, **kw):
+            out = real(fmaps, boxes, res, strides)
+            B, N = boxes.shape[0], boxes.shape[1]
+            flag = box_trunc if res <= 8 else mask_trunc
+            if return_inexact_mask:
+                return out, jnp.full((B, N), flag, dtype=bool)
+            return out
+
+        cfg = mr.MaskRCNNConfig(depth=50, input_size=64, rpn_pre_nms_topk=32,
+                                rpn_post_nms_topk=16, max_detections=4,
+                                bf16=False, score_threshold=0.0)
+        model, params = mr.create_model(cfg)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.uniform(0, 255, (2, 64, 64, 3)).astype(np.float32))
+        for box_t, mask_t in ((False, False), (True, False),
+                              (False, True), (True, True)):
+            monkeypatch.setattr(mr, "multilevel_roi_align_batched",
+                                functools.partial(fake, box_t, mask_t))
+            out = model.apply(params, x)
+            n_valid = np.asarray(out.valid).sum(axis=1)
+            want = n_valid if (box_t or mask_t) else np.zeros_like(n_valid)
+            np.testing.assert_array_equal(
+                np.asarray(out.roi_overflow), want.astype(np.int32)), \
+                (box_t, mask_t)
+
     def test_packed_transport_roundtrip_bit_exact(self):
         """ops.pack single-buffer transport: pack on device, unpack on host,
         every leaf bit-exact — including NaN/inf/-0 payloads (bitcast, not a
