@@ -224,7 +224,8 @@ def save_checkpoint_npz(path: str, params: Dict[str, Any],
                 rec(f"{prefix}/{k}" if prefix else k, v)
         else:
             src = np.asarray(tree)
-            cast = src.astype(dtype)
+            with np.errstate(over="ignore"):  # overflow handled below
+                cast = src.astype(dtype)
             # fp16 overflows |w|>65504 to inf and flushes folded frozen-BN
             # scales below ~6e-5 to zero; keep such tensors at fp32 so the
             # serialized checkpoint stays exact where narrowing would corrupt.
