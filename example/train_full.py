@@ -46,6 +46,15 @@ def main() -> int:
                         help="spatially hold out the eastern fraction of the "
                              "sample from training (0 disables); the held-out "
                              "bounds land in data/holdout.json for evaluate.py")
+    parser.add_argument("--freeze", type=int, default=None,
+                        help="backbone stages to freeze; default 3 when "
+                             "continuing from a pretrained checkpoint "
+                             "(reference preset), 0 for random init (freezing "
+                             "random weights cripples learning)")
+    parser.add_argument("--norm", default=None, choices=("frozen", "batch"),
+                        help="backbone norm; default 'batch' (real BN, folded "
+                             "to frozen at save) for random init, 'frozen' "
+                             "when continuing from a checkpoint")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO,
@@ -112,16 +121,25 @@ def main() -> int:
     # 3. from-scratch training at the serving resolution
     from treedetection_tpu.models.mask_rcnn import MaskRCNNConfig
     from treedetection_tpu.train import TrainConfig, train_model
+    # with RANDOM init the reference preset's freeze-3 would pin 3/4 of the
+    # backbone at random weights and FrozenBN leaves the net unnormalized —
+    # both made the round-3 curve flat; pretrained init keeps preset parity
+    pretrained = bool(args.init_from)
+    freeze = args.freeze if args.freeze is not None else (3 if pretrained
+                                                          else 0)
+    norm = args.norm or ("frozen" if pretrained else "batch")
     mc = MaskRCNNConfig(
         depth=args.depth, input_size=args.input_size,
         rpn_pre_nms_topk=1000, rpn_post_nms_topk=512, max_detections=100,
-        bf16=not on_cpu, remat=True)
+        bf16=not on_cpu, remat=True, norm=norm)
     over = {} if args.preset == "update" else {"base_lr": args.lr}
     tc = TrainConfig.from_preset(
         args.preset, max_iter=args.iters,
         ims_per_batch=args.batch, max_gt=args.max_gt,
+        backbone_freeze=freeze,
         eval_period=max(args.iters // 10, 10), patience=10,
         max_eval_batches=4, **over)
+    log.info(f"norm={norm} backbone_freeze={freeze}")
     init_params = None
     if args.init_from:
         from treedetection_tpu.models.convert import load_checkpoint
@@ -140,10 +158,13 @@ def main() -> int:
              f"loss {history['total_loss'][0]:.3f} -> "
              f"{np.mean(history['total_loss'][-20:]):.3f}; ckpt: {args.ckpt}")
 
-    # compact fp16 npz — the checkpoint example/config.yml serves
-    from treedetection_tpu.models.convert import save_checkpoint_npz
+    # compact fp16 npz — the checkpoint example/config.yml serves.  A
+    # batch-norm run folds its running stats into the frozen affine first,
+    # so the served tree is identical to frozen-mode init (zero serving cost)
+    from treedetection_tpu.models.convert import (fold_batch_stats,
+                                                  save_checkpoint_npz)
     npz_path = os.path.splitext(args.ckpt)[0] + ".npz"
-    save_checkpoint_npz(npz_path, jax.device_get(params))
+    save_checkpoint_npz(npz_path, fold_batch_stats(jax.device_get(params)))
     log.info(f"compact checkpoint: {npz_path} "
              f"({os.path.getsize(npz_path) / 1e6:.0f} MB)")
 

@@ -40,6 +40,43 @@ def fold_frozen_bn(gamma: np.ndarray, beta: np.ndarray, mean: np.ndarray,
     return scale, beta - mean * scale
 
 
+def fold_batch_stats(variables: Mapping[str, Any],
+                     eps: float = BN_EPS) -> Dict[str, Any]:
+    """Fold a batch-norm-trained checkpoint into the frozen serving layout.
+
+    A model trained with ``MaskRCNNConfig(norm="batch")`` carries
+    ``{"params": ..., "batch_stats": ...}`` where every backbone ``norm``
+    module has (scale, bias) params and (mean, var) running stats.  The
+    serving model (``norm="frozen"``) computes ``x * scale + bias`` — so fold
+    the stats into the affine exactly like :func:`fold_frozen_bn` does for
+    detectron2 checkpoints and return a params-only tree with the IDENTICAL
+    structure frozen-mode ``model.init`` produces.  No-op (returns params
+    unchanged) when there are no batch_stats.
+    """
+    params = variables.get("params", variables)
+    stats = variables.get("batch_stats") or {}
+
+    def rec(p, s):
+        if isinstance(p, Mapping):
+            out = {}
+            for k, v in p.items():
+                if k in (s or {}) and isinstance(s[k], Mapping) \
+                        and set(s[k].keys()) == {"mean", "var"} \
+                        and set(v.keys()) >= {"scale", "bias"}:
+                    gamma = np.asarray(v["scale"], np.float32)
+                    beta = np.asarray(v["bias"], np.float32)
+                    mean = np.asarray(s[k]["mean"], np.float32)
+                    var = np.asarray(s[k]["var"], np.float32)
+                    scale, bias = fold_frozen_bn(gamma, beta, mean, var, eps)
+                    out[k] = {"scale": scale, "bias": bias}
+                else:
+                    out[k] = rec(v, (s or {}).get(k))
+            return out
+        return np.asarray(p)
+
+    return {"params": rec(params, stats)}
+
+
 def conv_kernel(w: np.ndarray) -> np.ndarray:
     """torch conv OIHW -> flax HWIO."""
     return np.transpose(w, (2, 3, 1, 0))

@@ -56,6 +56,11 @@ class MaskRCNNConfig:
     # parity mode).  recall_target 0.99: only near-duplicate low-scoring
     # anchors ever differ, below NMS granularity.
     rpn_approx_topk_from: int = 0
+    # backbone normalization: "frozen" (serving + fine-tuning converted
+    # checkpoints — detectron2 FrozenBN affine) or "batch" (from-scratch
+    # TRAINING ONLY: real batch statistics; fold to a frozen checkpoint with
+    # models.convert.fold_batch_stats before serving)
+    norm: str = "frozen"
 
     @property
     def dtype(self):
@@ -87,7 +92,7 @@ class MaskRCNN(nn.Module):
         c = self.cfg
         self.backbone = ResNetFPN(depth=c.depth, dtype=c.dtype,
                                   remat=c.remat, scan_blocks=c.scan_blocks,
-                                  name="backbone")
+                                  norm=c.norm, name="backbone")
         self.rpn_head = RPNHead(num_anchors=len(c.anchor_ratios),
                                 dtype=c.dtype, name="rpn_head")
         self.box_head = BoxHead(num_classes=c.num_classes, dtype=c.dtype,

@@ -38,11 +38,26 @@ class FrozenBN(nn.Module):
 
 
 class ConvBN(nn.Module):
+    """Conv + norm (+ ReLU).
+
+    ``norm="frozen"`` (serving / fine-tuning converted checkpoints): the
+    affine :class:`FrozenBN`.  ``norm="batch"`` (from-scratch training):
+    real batch statistics via ``nn.BatchNorm`` — detectron2's FrozenBN is an
+    identity at random init, leaving a 50-layer net with NO normalization,
+    which is why from-scratch runs plateaued.  The BN param names (scale,
+    bias under "norm") match FrozenBN's, so ``models.convert.
+    fold_batch_stats`` turns a trained batch-norm checkpoint into a frozen
+    one with the identical tree the serving path loads — zero serving cost.
+    ``zero_gamma`` zero-initializes the BN scale (the standard residual-
+    branch init for from-scratch training: every block starts as identity).
+    """
     features: int
     kernel: int = 3
     stride: int = 1
     dtype: Any = jnp.float32
     relu: bool = True
+    norm: str = "frozen"
+    zero_gamma: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -51,7 +66,18 @@ class ConvBN(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=[(pad, pad), (pad, pad)], use_bias=False,
                     dtype=self.dtype, name="conv")(x)
-        x = FrozenBN(self.features, dtype=self.dtype, name="norm")(x)
+        if self.norm == "batch":
+            # stats in fp32 (bf16 mean/var over millions of pixels loses
+            # precision); always batch statistics — the running averages are
+            # only accumulated for the fold-at-save
+            x = nn.BatchNorm(
+                use_running_average=False, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32,
+                scale_init=(nn.initializers.zeros if self.zero_gamma
+                            else nn.initializers.ones),
+                name="norm")(x)
+        else:
+            x = FrozenBN(self.features, dtype=self.dtype, name="norm")(x)
         return nn.relu(x) if self.relu else x
 
 
@@ -62,19 +88,23 @@ class Bottleneck(nn.Module):
     out_features: int
     stride: int = 1
     dtype: Any = jnp.float32
+    norm: str = "frozen"
 
     @nn.compact
     def __call__(self, x):
         shortcut = x
         if x.shape[-1] != self.out_features or self.stride != 1:
             shortcut = ConvBN(self.out_features, kernel=1, stride=self.stride,
-                              dtype=self.dtype, relu=False, name="shortcut")(x)
+                              dtype=self.dtype, relu=False, norm=self.norm,
+                              name="shortcut")(x)
         y = ConvBN(self.width, kernel=1, stride=self.stride,
-                   dtype=self.dtype, name="conv1")(x)
-        y = ConvBN(self.width, kernel=3, stride=1, dtype=self.dtype, name="conv2")(y)
+                   dtype=self.dtype, norm=self.norm, name="conv1")(x)
+        y = ConvBN(self.width, kernel=3, stride=1, dtype=self.dtype,
+                   norm=self.norm, name="conv2")(y)
         y = ConvBN(self.out_features, kernel=1, stride=1, dtype=self.dtype,
-                   relu=False, name="conv3")(y)
-        return nn.relu(y + shortcut)
+                   relu=False, norm=self.norm,
+                   zero_gamma=self.norm == "batch", name="conv3")(y)
+        return nn.relu(y + shortcut.astype(y.dtype))
 
 
 class _ScanBody(nn.Module):
@@ -84,12 +114,13 @@ class _ScanBody(nn.Module):
     out_features: int
     dtype: Any = jnp.float32
     remat: bool = False
+    norm: str = "frozen"
 
     @nn.compact
     def __call__(self, x, _):
         cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         y = cls(self.width, self.out_features, stride=1, dtype=self.dtype,
-                name="block")(x)
+                norm=self.norm, name="block")(x)
         return y, None
 
 
@@ -106,30 +137,34 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False  # rematerialize bottlenecks (training memory saver)
     scan_blocks: bool = True
+    norm: str = "frozen"
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
         """-> [C2, C3, C4, C5] feature maps (strides 4, 8, 16, 32)."""
         blocks = STAGE_BLOCKS[self.depth]
         block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
-        x = ConvBN(64, kernel=7, stride=2, dtype=self.dtype, name="stem")(x)
+        x = ConvBN(64, kernel=7, stride=2, dtype=self.dtype, norm=self.norm,
+                   name="stem")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         outs = []
         width, features = 64, 256
         for stage, n_blocks in enumerate(blocks):
             stride = 1 if stage == 0 else 2
             x = block_cls(width, features, stride=stride, dtype=self.dtype,
-                          name=f"res{stage + 2}_0")(x)
+                          norm=self.norm, name=f"res{stage + 2}_0")(x)
             if n_blocks > 1 and self.scan_blocks:
-                scan = nn.scan(_ScanBody, variable_axes={"params": 0},
+                scan = nn.scan(_ScanBody,
+                               variable_axes={"params": 0, "batch_stats": 0},
                                split_rngs={"params": True},
                                length=n_blocks - 1)
                 x, _ = scan(width, features, dtype=self.dtype,
-                            remat=self.remat,
+                            remat=self.remat, norm=self.norm,
                             name=f"res{stage + 2}_rest")(x, None)
             else:
                 for i in range(1, n_blocks):
                     x = block_cls(width, features, stride=1, dtype=self.dtype,
+                                  norm=self.norm,
                                   name=f"res{stage + 2}_{i}")(x)
             outs.append(x)
             width *= 2
@@ -173,9 +208,12 @@ class ResNetFPN(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     scan_blocks: bool = True
+    norm: str = "frozen"
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
         cs = ResNet(self.depth, dtype=self.dtype, remat=self.remat,
-                    scan_blocks=self.scan_blocks, name="bottom_up")(x)
+                    scan_blocks=self.scan_blocks, norm=self.norm,
+                    name="bottom_up")(x)
+        cs = [c.astype(self.dtype) for c in cs]
         return FPN(self.fpn_features, dtype=self.dtype, name="fpn")(cs)

@@ -63,7 +63,8 @@ def assign_anchors(anchors: jnp.ndarray, gt: GroundTruth,
 
 def rpn_loss(logits: Sequence[jnp.ndarray], deltas: Sequence[jnp.ndarray],
              anchors: Sequence[jnp.ndarray], gt: GroundTruth,
-             batch_per_image: int = 256) -> Dict[str, jnp.ndarray]:
+             batch_per_image: int = 256,
+             pos_fraction: float = 0.5) -> Dict[str, jnp.ndarray]:
     """RPN objectness + regression loss for ONE image across all levels."""
     all_logits = jnp.concatenate([l.reshape(-1) for l in logits])
     all_deltas = jnp.concatenate([d.reshape(-1, 4) for d in deltas])
@@ -73,20 +74,29 @@ def rpn_loss(logits: Sequence[jnp.ndarray], deltas: Sequence[jnp.ndarray],
     pos = labels == 1
     neg = labels == 0
     n_pos = jnp.maximum(pos.sum(), 1)
-    # normalize like detectron2: by batch_per_image instead of sampling —
-    # statistically equivalent weighting with static shapes.
+    n_neg = jnp.maximum(neg.sum(), 1)
+    # detectron2 samples batch_per_image anchors with at most
+    # pos_fraction positives and fills the REST with negatives; with static
+    # shapes we keep every anchor and reproduce the sampler's expected
+    # weighting: each positive counts min(1, cap/n_pos), the negatives
+    # together count (batch_per_image - n_pos_eff).  (An earlier 1:1
+    # pos:neg cap underweighted negatives ~25x vs detectron2 with the
+    # typical handful of positives — the RPN over-fired and flooded the box
+    # head with junk whole-image proposals.)
+    pos_cap = batch_per_image * pos_fraction
+    n_pos_eff = jnp.minimum(n_pos.astype(jnp.float32), pos_cap)
+    w_pos = jnp.minimum(1.0, pos_cap / n_pos)
+    w_neg = jnp.minimum(1.0, (batch_per_image - n_pos_eff) / n_neg)
     # BCE in logits space (softplus): log(sigmoid(x)) = -softplus(-x).
     # The sigmoid+log form overflows under XLA rewriting at |x| ~ 100+.
     bce_pos = jax.nn.softplus(-all_logits)
     bce_neg = jax.nn.softplus(all_logits)
-    # cap negative dominance: weight negatives so pos:neg ~ 1:1 effective
-    w_neg = jnp.minimum(1.0, (n_pos / jnp.maximum(neg.sum(), 1)) * 1.0)
-    objectness = (jnp.where(pos, bce_pos, 0.0).sum()
+    objectness = (w_pos * jnp.where(pos, bce_pos, 0.0).sum()
                   + w_neg * jnp.where(neg, bce_neg, 0.0).sum()) / batch_per_image
 
     target = encode_deltas(all_anchors, gt.boxes[matched])
     reg = smooth_l1(all_deltas - target).sum(axis=-1)
-    regression = jnp.where(pos, reg, 0.0).sum() / batch_per_image
+    regression = w_pos * jnp.where(pos, reg, 0.0).sum() / batch_per_image
     return {"rpn_objectness": objectness, "rpn_regression": regression}
 
 
@@ -168,8 +178,13 @@ def roi_mask_loss(mask_logits: jnp.ndarray, proposals: jnp.ndarray,
 
 def mask_rcnn_losses(model, params, images: jnp.ndarray, gt_boxes: jnp.ndarray,
                      gt_masks: jnp.ndarray, gt_valid: jnp.ndarray,
-                     rng: jax.Array) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Full training loss for a batch.
+                     rng: jax.Array, return_state: bool = False):
+    """Full training loss for a batch -> (total, parts) — or, with
+    ``return_state=True``, (total, (parts, mutable_updates)) where
+    ``mutable_updates`` carries the backbone's updated ``batch_stats`` when
+    the model trains with real batch norm (``cfg.norm == "batch"``; empty
+    otherwise).  Callers in batch-norm mode must pass the full variables
+    dict (params + batch_stats) and thread the updates.
 
     ``images`` (B, S, S, 3) normalized; ``gt_boxes`` (B, G, 4) in input-pixel
     coords; ``gt_masks`` (B, G, S/4, S/4) binary; ``gt_valid`` (B, G).
@@ -182,8 +197,14 @@ def mask_rcnn_losses(model, params, images: jnp.ndarray, gt_boxes: jnp.ndarray,
 
     cfg = model.cfg
 
-    feats, logits, deltas = model.apply(params, images,
-                                        method=_forward_features)
+    if cfg.norm == "batch":
+        (feats, logits, deltas), mut = model.apply(
+            params, images, method=_forward_features,
+            mutable=["batch_stats"])
+    else:
+        feats, logits, deltas = model.apply(params, images,
+                                            method=_forward_features)
+        mut = {}
     anchors = [jnp.asarray(a) for a in _anchors_for(cfg)]
 
     def per_image(f_img, lg_img, dl_img, boxes_i, masks_i, valid_i):
@@ -226,6 +247,8 @@ def mask_rcnn_losses(model, params, images: jnp.ndarray, gt_boxes: jnp.ndarray,
                                  gt_boxes, gt_masks, gt_valid)
     mean_losses = {k: v.mean() for k, v in losses.items()}
     total = sum(mean_losses.values())
+    if return_state:
+        return total, (mean_losses, mut)
     return total, mean_losses
 
 

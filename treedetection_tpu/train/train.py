@@ -79,12 +79,18 @@ class TrainConfig:
 def _freeze_mask(params: Dict, n_stages: int) -> Dict:
     """Zero-out gradient multiplier for frozen backbone params: stem + res2..
     res{n_stages+1} (detectron2 FREEZE_AT semantics)."""
-    frozen_prefixes = ["backbone/bottom_up/stem"]
+    # detectron2 FREEZE_AT semantics: 0 freezes nothing, 1 the stem,
+    # N >= 2 the stem + res2..res{N}
+    frozen_prefixes = ["backbone/bottom_up/stem"] if n_stages >= 1 else []
     for s in range(2, 2 + max(n_stages - 1, 0)):
         frozen_prefixes.append(f"backbone/bottom_up/res{s}_")
 
     def label(path, _):
         key = "/".join(str(getattr(p, "key", p)) for p in path)
+        # batch_stats are state, not weights: keep the optimizer (esp. weight
+        # decay) off them — they update from the forward pass's aux instead
+        if key.startswith("batch_stats"):
+            return "frozen"
         return "frozen" if any(pfx in key for pfx in frozen_prefixes) else "train"
 
     return jax.tree_util.tree_map_with_path(label, params)
@@ -145,11 +151,14 @@ def make_train_step(model: MaskRCNN, optimizer: optax.GradientTransformation,
         def loss_fn(p):
             return mask_rcnn_losses(
                 model, p, image, batch["boxes"], masks,
-                batch["valid"], rng)
+                batch["valid"], rng, return_state=True)
 
-        (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (total, (parts, mut)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if mut:  # batch-norm mode: fold the updated running stats back in
+            params = {**params, **mut}
         metrics = {"total_loss": total, **parts}
         return params, opt_state, metrics
 
