@@ -511,7 +511,8 @@ class TestPatchROIAlign:
         exactly the boxes left truncated."""
         from treedetection_tpu.ops.roi_align import (
             multilevel_roi_align_batched)
-        monkeypatch.setenv("TD_ROI_LARGE_FRAC", "0.05")  # budget = 3 of 48
+        monkeypatch.setenv("TD_ROI_LARGE_FRAC", "0.05")  # 2 per image of 24
+        monkeypatch.setenv("TD_ROI_EXACT_FRAC", "0")     # no gather tail
         monkeypatch.setenv("TD_ROI_SMALL", "24")  # 20-60px fit, 100-110 don't
         fmaps1 = self._fmaps(seed=33)
         fmaps2 = self._fmaps(seed=34)
@@ -521,10 +522,56 @@ class TestPatchROIAlign:
             fmaps, boxes, 7, (4, 8, 16, 32), pallas=True,
             force_interpret=True, return_overflow=True)
         assert np.isfinite(np.asarray(out)).all()
-        # 12 boxes want the large patch (2x6); ceil(48 * 0.05) = 3 get it;
-        # nothing outspans the large patch, so the gather net fixes none ->
-        # exactly 9 stay truncated at the small patch
-        assert int(np.asarray(n_over).sum()) == 9
+        # 6 boxes per image want the large patch; the per-image budget
+        # ceil(24 * 0.05) = 2 serves two of them, the exact tail is off ->
+        # exactly 4 stay truncated per image
+        assert np.asarray(n_over).tolist() == [4, 4]
+
+    def test_batched_exact_tail_serves_any_span(self, monkeypatch):
+        """The gather tail pools boxes that outspan even the 48-patch (the
+        elongated junk proposals) EXACTLY — no budgeted fallback left behind:
+        batched output == per-image gather oracle, zero truncations."""
+        from treedetection_tpu.ops.roi_align import (
+            multilevel_roi_align_batched, multilevel_roi_align_gather)
+        monkeypatch.setenv("TD_ROI_SMALL", "16")
+        monkeypatch.setenv("TD_ROI_LARGE_FRAC", "0.5")
+        monkeypatch.setenv("TD_ROI_EXACT_FRAC", "0.25")
+        fmaps1 = self._fmaps(seed=40)
+        fmaps2 = self._fmaps(seed=41)
+        fmaps = [jnp.stack([a, b]) for a, b in zip(fmaps1, fmaps2)]
+        boxes = self._batched_mixed_boxes(strips=True)  # 1 strip per image
+        fast, n_over = multilevel_roi_align_batched(
+            fmaps, boxes, 7, (4, 8, 16, 32), pallas=True,
+            force_interpret=True, return_overflow=True)
+        assert np.asarray(n_over).tolist() == [0, 0]
+        for b, fm in enumerate((fmaps1, fmaps2)):
+            ref = np.asarray(multilevel_roi_align_gather(
+                fm, boxes[b], 7, (4, 8, 16, 32)))
+            assert np.allclose(np.asarray(fast[b]), ref, atol=2e-5), \
+                np.abs(np.asarray(fast[b]) - ref).max()
+
+    def test_batched_budgets_are_per_image(self, monkeypatch):
+        """A box-heavy image cannot starve a later image's budgets: image 0
+        carries 6 need-large boxes, image 1 only 2 — with per-image budgets
+        of 2 (large) + 0 (exact), image 1's two are both served while a
+        flattened batch-wide top-k would have spent all 4 slots on image 0."""
+        from treedetection_tpu.ops.roi_align import (
+            multilevel_roi_align_batched)
+        monkeypatch.setenv("TD_ROI_SMALL", "24")
+        monkeypatch.setenv("TD_ROI_LARGE_FRAC", "0.05")  # ceil(24*.05) = 2
+        monkeypatch.setenv("TD_ROI_EXACT_FRAC", "0")
+        fmaps1 = self._fmaps(seed=42)
+        fmaps2 = self._fmaps(seed=43)
+        fmaps = [jnp.stack([a, b]) for a, b in zip(fmaps1, fmaps2)]
+        boxes = np.array(self._batched_mixed_boxes(strips=False))
+        # shrink 4 of image 1's 6 large boxes so it needs only 2
+        for i in range(18, 22):
+            x0, y0 = boxes[1, i, 0], boxes[1, i, 1]
+            boxes[1, i] = [x0, y0, x0 + 40, y0 + 40]
+        _, n_over = multilevel_roi_align_batched(
+            fmaps, jnp.asarray(boxes), 7, (4, 8, 16, 32), pallas=True,
+            force_interpret=True, return_overflow=True)
+        assert np.asarray(n_over).tolist() == [4, 0]
 
     def test_batched_overlay_disabled_matches_gather(self, monkeypatch):
         """TD_ROI_SMALL=0 keeps the single-class 48-patch path."""

@@ -74,11 +74,14 @@ class ModelOutput(NamedTuple):
     valid: jnp.ndarray      # (B, D) bool
     masks: jnp.ndarray      # (B, D, 28, 28) uint8 sigmoid probability * 255
                             # (quantized on device: 4x less device->host fetch)
-    roi_overflow: jnp.ndarray  # (B,) int32 — per-image count of VALID
+    roi_overflow: jnp.ndarray  # (B,) int32 — per-image MAX of (a) VALID
                             # detections whose ROIAlign pooling (box pool,
                             # traced via the detection's source proposal, or
                             # mask pool) stayed TRUNCATED after every
-                            # in-program fixup; hosts pass it to
+                            # in-program class, and (b) truncated proposals
+                            # in the top RPN-score quartile (a truncated
+                            # proposal can silently SUPPRESS a detection);
+                            # hosts pass it to
                             # ops.roi_align.report_overflow_host so the
                             # degradation is never silent
 
@@ -156,12 +159,18 @@ class MaskRCNN(nn.Module):
         # degraded-output counter: a VALID detection whose box-pool features
         # (traced via det.src) or mask-pool features were truncated.  Junk
         # proposals that never survive scoring don't count — the score-aware
-        # overlay budget deliberately spends exactness on the top scorers.
+        # budgets deliberately spend exactness on the top scorers.  A
+        # truncated proposal whose depressed classifier score SUPPRESSES the
+        # detection would be invisible to that count, so also count truncated
+        # proposals in the top RPN-score quartile (proposals are
+        # score-descending) and report whichever signal is larger — budget
+        # exhaustion that silently eats detections still warns.
         det_box_trunc = jnp.take_along_axis(box_inexact, det.src, axis=1)
-        degraded = det.valid & (det_box_trunc | mask_inexact)
+        degraded = (det.valid & (det_box_trunc | mask_inexact)).sum(axis=1)
+        top_prop_trunc = box_inexact[:, :max(K // 4, 1)].sum(axis=1)
         return ModelOutput(boxes=det.boxes, scores=det.scores,
                            classes=det.classes, valid=det.valid, masks=masks,
-                           roi_overflow=degraded.sum(axis=1)
+                           roi_overflow=jnp.maximum(degraded, top_prop_trunc)
                            .astype(jnp.int32))
 
 

@@ -178,39 +178,69 @@ PATCH = 48
 # pooling (bounded error on the overhanging bins only).
 FALLBACK_BUDGET = 16
 
-# Two-class patch pooling (batched pooler only).  The 48x56 patch covers the
-# worst legal box per level, but the kernel is HBM-bandwidth bound (~1.38 MB
-# per box at C=256 bf16) and MOST boxes — tree crowns are 25-75 px at 0.2 m
-# GSD, 6-19 cells on their assigned level — fit a much smaller window.  The
-# batched pooler therefore pools EVERY box with a small (rows, rows+8) patch
-# (16 rows for the 7x7 box pool ~= 7x less traffic, 32 for the 14x14 mask
-# pool; TPU-measured optima) and re-pools the boxes that don't fit through
-# the full-size kernel within a static budget of ``ceil(LARGE_FRAC * N)``
-# boxes.  The budget's top-k selection is SCORE-AWARE by construction:
-# proposals arrive score-descending and top_k breaks ties toward lower
-# indices, so the budget always covers the highest-scoring non-fitting boxes
-# first — the ones that can become detections.  Compute cost is
-# distribution-INDEPENDENT (static shapes); beyond-budget boxes keep
-# truncated small-patch pooling, flagged per box in the returned inexact
-# mask (never silent — the model counts truncated VALID DETECTIONS).
-# Env overrides: TD_ROI_SMALL (rows; 0 disables the overlay),
-# TD_ROI_LARGE_FRAC.
+# Three-class patch pooling (batched pooler only).  The 48x56 patch covers
+# boxes spanning <= 47 cells on their level, but the kernel is HBM-bandwidth
+# bound (~1.38 MB per box at C=256 bf16) and MOST boxes — tree crowns are
+# 25-75 px at 0.2 m GSD, 6-19 cells on their assigned level — fit a much
+# smaller window.  The batched pooler therefore pools
+#
+# 1. EVERY box with a small (rows, rows+8) patch (16 rows for the 7x7 box
+#    pool ~= 7x less traffic, 32 for the 14x14 mask pool);
+# 2. a per-image budget of ``ceil(LARGE_FRAC * N)`` non-fitting boxes again
+#    through the full 48-patch kernel; and
+# 3. a per-image budget of ``ceil(EXACT_FRAC * N)`` boxes through the exact
+#    GATHER path, which serves ANY span — the elongated junk proposals the
+#    RPN emits span up to ~250 cells on P2 (measured
+#    tools/tpu_sweep_results.jsonl 'span'), far beyond any patch.  Boxes
+#    that outspan the 48-patch get first claim on this budget; unserved
+#    class-2 spillover fills the rest.
+#
+# Budgets are PER IMAGE (a busy image can't starve a later one) and
+# score-aware by construction: proposals arrive score-descending and top_k
+# breaks ties toward lower indices, so each budget covers the
+# highest-scoring non-fitting boxes first — the ones that can become
+# detections.  Compute cost is distribution-INDEPENDENT (static shapes);
+# beyond-budget boxes keep truncated small-patch pooling, flagged per box in
+# the returned inexact mask (never silent — the model counts truncated
+# VALID DETECTIONS and truncated top-quartile proposals).
+#
+# Defaults are sized from the measured span distribution of the bundled
+# 1 km^2 sample at production geometry (tools/tpu_sweep_results.jsonl,
+# phase 'span': 55% of proposals outspan the 16-row window, ~10% outspan
+# the 48-patch; 13% of detections outspan 32): the box pool's
+# LARGE+EXACT budgets (0.50 + 0.15) cover the measured need (0.45 + 0.10)
+# with margin, the mask pool's (0.25 + 0.08) covers (0.13 + ~0).
+# Env overrides: TD_ROI_SMALL (rows; 0 disables the small class),
+# TD_ROI_LARGE_FRAC (0 disables the 48-patch class),
+# TD_ROI_EXACT_FRAC (0 disables the gather tail).
 SMALL_PATCH_BOX = 16     # resolution <= 8 (7x7 box pool)
 SMALL_PATCH_MASK = 32    # resolution > 8 (14x14 mask pool)
-LARGE_FRAC = 0.25
+LARGE_FRAC_BOX = 0.50
+LARGE_FRAC_MASK = 0.25
+EXACT_FRAC_BOX = 0.15
+EXACT_FRAC_MASK = 0.08
 
 
-def _overlay_params(n: int, resolution: int) -> Tuple[int, int]:
-    """(small_patch, large_budget) for an n-box batched pooling call;
-    small_patch == 0 disables the two-class overlay."""
+def _class_params(n_per_image: int, resolution: int) -> Tuple[int, int, int]:
+    """(small_patch, large_budget, exact_budget) for a batched pooling call
+    with ``n_per_image`` boxes per image; budgets are per image."""
     import os as _os
-    default = SMALL_PATCH_BOX if resolution <= 8 else SMALL_PATCH_MASK
-    small = int(_os.environ.get("TD_ROI_SMALL", str(default)))
-    if small <= 0 or small >= PATCH:
-        return 0, 0
-    frac = float(_os.environ.get("TD_ROI_LARGE_FRAC", str(LARGE_FRAC)))
-    budget = min(n, max(1, int(np.ceil(n * frac))))
-    return small, budget
+    box = resolution <= 8
+    small = int(_os.environ.get(
+        "TD_ROI_SMALL", str(SMALL_PATCH_BOX if box else SMALL_PATCH_MASK)))
+    if small >= PATCH:
+        small = 0
+    lfrac = float(_os.environ.get(
+        "TD_ROI_LARGE_FRAC", str(LARGE_FRAC_BOX if box else LARGE_FRAC_MASK)))
+    efrac = float(_os.environ.get(
+        "TD_ROI_EXACT_FRAC", str(EXACT_FRAC_BOX if box else EXACT_FRAC_MASK)))
+
+    def budget(frac):
+        return 0 if frac <= 0 else min(n_per_image, int(np.ceil(
+            n_per_image * frac)))
+
+    m_large = budget(lfrac) if small > 0 else 0  # small=0 => all boxes large
+    return max(small, 0), m_large, budget(efrac)
 
 
 def _hat_matrix(samples: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -519,12 +549,13 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
     and 15.3 -> ~4 ms for 8x100 mask pools on v5e.
 
     Identical math to :func:`multilevel_roi_align` (same hat matrices, same
-    gather fallback with a batch-wide budget of ``B * FALLBACK_BUDGET``), plus
-    a two-class patch scheme: every box pools through a small patch and a
-    static, score-aware top-k of non-fitting boxes re-pools through the full
-    48-patch kernel (see the ``SMALL_PATCH_BOX`` comment).
+    exact gather path), organized as a three-class scheme: every box pools
+    through a small patch, a per-image score-aware top-k of non-fitting
+    boxes re-pools through the full 48-patch kernel, and a second per-image
+    budget re-pools ANY-span boxes (the elongated junk proposals) through
+    the exact gather path (see the ``SMALL_PATCH_BOX`` comment).
     ``return_overflow`` appends per-image tallies of boxes whose pooling
-    stayed truncated after BOTH fixups (0 == every box exact);
+    stayed truncated after every class (0 == every box exact);
     ``return_inexact_mask`` appends the underlying (B, N) bool mask instead
     (the model uses it to count truncated VALID DETECTIONS only).
     On CPU (no Pallas) falls back to a vmap of the exact gather path.
@@ -582,42 +613,59 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
     row_base = img * (jnp.asarray(hs + PATCH, dtype=jnp.int32)[levels])
     meta = jnp.stack([levels, row_base + oy, ox_al], axis=1).astype(jnp.int32)
 
-    # two-class pooling: small patches for everyone (the kernel is HBM
-    # bandwidth bound and crowns are small), a large-patch overlay re-pools
-    # the top-``large_budget`` non-fitting boxes exactly.  Hat weights beyond
-    # a FITTING box's span are exactly zero, so slicing the hat matrices IS
-    # the small-patch pooling — identical math, 3.5-7x less DMA traffic.
-    small, large_budget = _overlay_params(n, resolution)
-    trunc = jnp.zeros((n,), bool)
-    if small and large_budget < n:
-        need_large = (span_y > small - 1) | (span_x > small + 8 - 1)
+    # three-class pooling (see the _class_params comment): small patches for
+    # everyone, a per-image 48-patch budget for non-fitting boxes, an exact
+    # per-image gather budget for anything beyond that (any span).  Hat
+    # weights beyond a FITTING box's span are exactly zero, so slicing the
+    # hat matrices IS the small-patch pooling — identical math, 3.5-7x less
+    # DMA traffic.
+    small, m_large, m_exact = _class_params(N, resolution)
+    need_exact = overflow.reshape(B, N)        # outspans even the 48-patch
+    if small:
+        fits_small = ~((span_y > small - 1) | (span_x > small + 8 - 1))
+        need_large = ~fits_small.reshape(B, N) & ~need_exact
         out = _launch_patch_kernel(kpadded, meta, ay_f[:, :, :small],
                                    ax_f[:, :, :small + 8], resolution,
                                    force_interpret)
-        flag_l, idx_l = jax.lax.top_k(need_large.astype(jnp.float32),
-                                      large_budget)
-        out_l = _launch_patch_kernel(kpadded, meta[idx_l], ay_f[idx_l],
-                                     ax_f[idx_l], resolution, force_interpret)
-        take_l = (flag_l > 0)[:, None, None, None]
-        out = out.at[idx_l].set(jnp.where(take_l, out_l.astype(out.dtype),
-                                          out[idx_l]))
-        sel_l = jnp.zeros((n,), bool).at[idx_l].set(flag_l > 0)
-        trunc = need_large & ~sel_l     # still truncated at the small patch
     else:
+        need_large = jnp.zeros((B, N), bool)
         out = _launch_patch_kernel(kpadded, meta, ay_f, ax_f, resolution,
                                    force_interpret)
 
-    inexact = trunc | overflow
-    m = min(FALLBACK_BUDGET * B, n)
-    if m > 0:
-        flag, idx = jax.lax.top_k(overflow.astype(jnp.float32), m)
-        fb = _gather_batched_rows(kpadded, hs, ws, flat_boxes[idx],
-                                  levels[idx], img[idx], resolution,
+    img_base = jnp.arange(B, dtype=jnp.int32)[:, None] * N
+    sel_large = jnp.zeros((n,), bool)
+    if small and m_large > 0:
+        flag_l, idx_l = jax.lax.top_k(need_large.astype(jnp.float32),
+                                      m_large)                  # (B, m_l)
+        flat_l = (img_base + idx_l).reshape(-1)
+        take_l = (flag_l > 0).reshape(-1)
+        out_l = _launch_patch_kernel(kpadded, meta[flat_l], ay_f[flat_l],
+                                     ax_f[flat_l], resolution,
+                                     force_interpret)
+        out = out.at[flat_l].set(jnp.where(take_l[:, None, None, None],
+                                           out_l.astype(out.dtype),
+                                           out[flat_l]))
+        sel_large = sel_large.at[flat_l].set(take_l)
+
+    sel_exact = jnp.zeros((n,), bool)
+    if m_exact > 0:
+        # beyond-48 boxes first, then class-2 spillover the large budget
+        # missed; ties break toward lower index == higher proposal score
+        prio = (need_exact.astype(jnp.float32) * 2.0
+                + (need_large & ~sel_large.reshape(B, N)).astype(jnp.float32))
+        flag_e, idx_e = jax.lax.top_k(prio, m_exact)            # (B, m_e)
+        flat_e = (img_base + idx_e).reshape(-1)
+        take_e = (flag_e > 0).reshape(-1)
+        fb = _gather_batched_rows(kpadded, hs, ws, flat_boxes[flat_e],
+                                  levels[flat_e], img[flat_e], resolution,
                                   strides, sampling_ratio)
-        take = (flag > 0)[:, None, None, None]
-        out = out.at[idx].set(jnp.where(take, fb.astype(out.dtype), out[idx]))
-        sel_g = jnp.zeros((n,), bool).at[idx].set(flag > 0)
-        inexact = (trunc | overflow) & ~sel_g
+        out = out.at[flat_e].set(jnp.where(take_e[:, None, None, None],
+                                           fb.astype(out.dtype),
+                                           out[flat_e]))
+        sel_exact = sel_exact.at[flat_e].set(take_e)
+
+    inexact = ((need_large | need_exact).reshape(-1)
+               & ~sel_large & ~sel_exact)
 
     out = out.reshape(B, N, resolution, resolution, C)
     if return_inexact_mask:
