@@ -590,3 +590,34 @@ class TestPatchROIAlign:
             ref = np.asarray(multilevel_roi_align_gather(
                 fm, boxes[b], 7, (4, 8, 16, 32)))
             assert np.allclose(np.asarray(fast[b]), ref, atol=2e-5)
+
+
+class TestFusedRasterStats:
+    def test_two_raster_fusion_matches_single_calls(self):
+        """polygon_raster_stats_two == two polygon_raster_stats_batch calls
+        (shared PIP, per-raster affines on DIFFERENT grids)."""
+        from treedetection_tpu.ops.stats import (
+            polygon_raster_stats_batch, polygon_raster_stats_two)
+        rng = np.random.default_rng(7)
+        polys = np.full((5, 12, 2), np.nan, dtype=np.float32)
+        for i in range(5):
+            n = rng.integers(3, 10)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            r = rng.uniform(3, 12)
+            cx, cy = rng.uniform(20, 80, 2)
+            polys[i, :n, 0] = cx + r * np.cos(ang)
+            polys[i, :n, 1] = cy + r * np.sin(ang)
+        ra = rng.standard_normal((100, 100)).astype(np.float32)
+        rb = rng.standard_normal((20, 20)).astype(np.float32)
+        aff_a = np.array([1.0, 0, 0, 0, -1.0, 100.0], dtype=np.float32)
+        aff_b = np.array([5.0, 0, 0, 0, -5.0, 100.0], dtype=np.float32)
+        pa, pb = (jnp.asarray(x) for x in (ra, rb))
+        aa, ab = (jnp.asarray(x) for x in (aff_a, aff_b))
+        pj = jnp.asarray(polys)
+        fa, fb = polygon_raster_stats_two(pj, pa, aa, pb, ab)
+        sa = polygon_raster_stats_batch(pj, pa, aa)
+        sb = polygon_raster_stats_batch(pj, pb, ab)
+        for got, want in ((fa, sa), (fb, sb)):
+            for g, w in zip(got, want):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                           rtol=1e-6, atol=1e-6)

@@ -112,16 +112,8 @@ def bilinear_sample_raster(raster: jnp.ndarray, affine: jnp.ndarray,
     return jnp.where(inside, v, jnp.nan)
 
 
-@partial(jax.jit, static_argnames=("grid", "compat_circle"))
-def polygon_raster_stats_batch(polys: jnp.ndarray, raster: jnp.ndarray,
-                               affine: jnp.ndarray, grid: int = 32,
-                               compat_circle: bool = False) -> PolygonStats:
-    """Masked raster stats for every polygon in one fused program.
-
-    ``polys``: (N, P, 2) NaN-padded exterior rings (geo coords);
-    ``raster``: (H, W) float; ``affine``: 6-vector pixel->geo transform.
-    """
-    pts, _ = sample_grid_over_bboxes(polys, grid)
+def _inside_mask(polys: jnp.ndarray, pts: jnp.ndarray,
+                 compat_circle: bool) -> jnp.ndarray:
     if compat_circle:
         # reference semantics: a point counts as inside when within the
         # polygon's bounding circle (utilities.py:78-98)
@@ -130,11 +122,12 @@ def polygon_raster_stats_batch(polys: jnp.ndarray, raster: jnp.ndarray,
         radius2 = jnp.nanmax(jnp.where(jnp.isfinite(polys[..., 0]), d2, -jnp.inf),
                              axis=1)
         dist2 = jnp.sum((pts - center[:, None, :]) ** 2, axis=-1)
-        inside = dist2 <= radius2[:, None]
-    else:
-        inside = points_in_polygons(pts, _close_rings(polys))
+        return dist2 <= radius2[:, None]
+    return points_in_polygons(pts, _close_rings(polys))
 
-    vals = bilinear_sample_raster(raster, affine, pts)        # (N, M)
+
+def _masked_stats(inside: jnp.ndarray, vals: jnp.ndarray,
+                  pts: jnp.ndarray) -> PolygonStats:
     ok = inside & jnp.isfinite(vals)
     count = jnp.sum(ok, axis=1)
     safe = jnp.where(ok, vals, 0.0)
@@ -153,6 +146,43 @@ def polygon_raster_stats_batch(polys: jnp.ndarray, raster: jnp.ndarray,
     argmax_xy = jnp.take_along_axis(pts, argmax[:, None, None], axis=1)[:, 0, :]
     return PolygonStats(max=mx, min=mn, mean=mean, var=var,
                         argmax_xy=argmax_xy, count=count)
+
+
+@partial(jax.jit, static_argnames=("grid", "compat_circle"))
+def polygon_raster_stats_batch(polys: jnp.ndarray, raster: jnp.ndarray,
+                               affine: jnp.ndarray, grid: int = 32,
+                               compat_circle: bool = False) -> PolygonStats:
+    """Masked raster stats for every polygon in one fused program.
+
+    ``polys``: (N, P, 2) NaN-padded exterior rings (geo coords);
+    ``raster``: (H, W) float; ``affine``: 6-vector pixel->geo transform.
+    """
+    pts, _ = sample_grid_over_bboxes(polys, grid)
+    inside = _inside_mask(polys, pts, compat_circle)
+    vals = bilinear_sample_raster(raster, affine, pts)        # (N, M)
+    return _masked_stats(inside, vals, pts)
+
+
+@partial(jax.jit, static_argnames=("grid", "compat_circle"))
+def polygon_raster_stats_two(polys: jnp.ndarray,
+                             raster_a: jnp.ndarray, affine_a: jnp.ndarray,
+                             raster_b: jnp.ndarray, affine_b: jnp.ndarray,
+                             grid: int = 32, compat_circle: bool = False
+                             ) -> Tuple[PolygonStats, PolygonStats]:
+    """Stats against TWO rasters (height + NDVI) in ONE program: the polygon
+    sample grid and the even-odd PIP test — the dominant compute — are shared
+    and the host pays a single dispatch+fetch round trip instead of two
+    (reference counterpart: the fused path of ``postprocessing.py:549-554``;
+    this one also serves rasters on DIFFERENT grids since each raster is
+    sampled through its own affine).  Exactly
+    ``(polygon_raster_stats_batch(polys, a), ..._batch(polys, b))``."""
+    pts, _ = sample_grid_over_bboxes(polys, grid)
+    inside = _inside_mask(polys, pts, compat_circle)
+    out = []
+    for raster, affine in ((raster_a, affine_a), (raster_b, affine_b)):
+        vals = bilinear_sample_raster(raster, affine, pts)
+        out.append(_masked_stats(inside, vals, pts))
+    return out[0], out[1]
 
 
 @jax.jit

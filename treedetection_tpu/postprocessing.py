@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 from treedetection_tpu.geo import Affine, GeoTiff
 from treedetection_tpu.ops.boxes import box_iou_matrix, pairwise_intersection_over_area
-from treedetection_tpu.ops.stats import polygon_raster_stats_batch
+from treedetection_tpu.ops.stats import (polygon_raster_stats_batch,
+                                         polygon_raster_stats_two)
 from treedetection_tpu.recoveries import (
     load_postprocess_recovery_data, postprocess_params,
     save_postprocess_recovery_data)
@@ -531,7 +532,28 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
             if hr_j is not None:
                 jax.block_until_ready(hr_j)
             _phase("stats_upload", _tu)
-            if hr_j is not None:
+            if hr_j is not None and nr_j is not None:
+                # fused two-raster program: the sample grid + PIP test (the
+                # dominant compute) are shared and the host pays ONE
+                # dispatch+fetch round trip (reference fused path
+                # postprocessing.py:549-554, generalized to distinct grids)
+                _tc = _time.time()
+                st_h, st_n = polygon_raster_stats_two(
+                    sub_j, hr_j,
+                    jnp.asarray(list(_local_affine(height_affine)),
+                                dtype=jnp.float32),
+                    nr_j,
+                    jnp.asarray(list(_local_affine(ndvi_affine)),
+                                dtype=jnp.float32),
+                    compat_circle=compat_circle)
+                mx = np.asarray(st_h.max)
+                _phase("stats_fused_call", _tc)
+                heights[sub] = mx[:len(sub)]
+                argmax_xy[sub] = np.asarray(st_h.argmax_xy)[:len(sub)] \
+                    + offset[None, :]
+                mean_ndvi[sub] = np.asarray(st_n.mean)[:len(sub)]
+                var_ndvi[sub] = np.asarray(st_n.var)[:len(sub)]
+            elif hr_j is not None:
                 _tc = _time.time()
                 st = polygon_raster_stats_batch(
                     sub_j, hr_j,
@@ -543,7 +565,7 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
                 heights[sub] = mx[:len(sub)]
                 argmax_xy[sub] = np.asarray(st.argmax_xy)[:len(sub)] \
                     + offset[None, :]
-            if nr_j is not None:
+            elif nr_j is not None:
                 _tc = _time.time()
                 st = polygon_raster_stats_batch(
                     sub_j, nr_j,
