@@ -567,8 +567,13 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
 
     from treedetection_tpu.ops.pallas import roi_align_kernel as _rk
     import os as _os
+    # TD_PALLAS_INTERPRET=1 runs the Pallas patch kernels in interpret mode
+    # on non-TPU backends — lets the multichip dryrun exercise the REAL
+    # three-class pooler (not the gather fallback) on a virtual CPU mesh
+    force_interpret = force_interpret or \
+        _os.environ.get("TD_PALLAS_INTERPRET") == "1"
     if pallas is None:
-        pallas = _rk.available() and \
+        pallas = (_rk.available() or force_interpret) and \
             _os.environ.get("TD_PALLAS_ROIALIGN", "1") != "0"
     img_span = max(f.shape[1] * s for f, s in zip(fmaps, strides))
     if not (pallas and (_rk.available() or force_interpret)) \
