@@ -364,6 +364,128 @@ def main(phases) -> int:
             for q in (50, 90, 100)]
         record("span", out)
 
+    if "roi3" in phases:
+        # round-4 three-class pooler variants at production geometry with a
+        # REALISTIC span mix (45% fit s16, ~45% need the 48-patch, ~10%
+        # whole-image strips that outspan any patch — the measured 'span'
+        # distribution): which (small, large_frac, exact_frac) is fastest,
+        # and how fast is the pure-gather path (exact for everything)?
+        import importlib
+        ra = importlib.import_module("treedetection_tpu.ops.roi_align")
+        C = 256
+        hs = [256, 128, 64, 32]
+        strides = [4, 8, 16, 32]
+        fmaps = [jnp.asarray(
+            rng.normal(size=(batch, h, h, C)).astype(np.float32),
+            dtype=jnp.bfloat16) for h in hs]
+        fmaps = jax.device_put(fmaps, dev)
+
+        def mk_boxes_spanmix(n_boxes):
+            n_strip = int(n_boxes * 0.10)
+            n_large = int(n_boxes * 0.45)
+            n_small = n_boxes - n_strip - n_large
+            sizes_px = np.concatenate([
+                rng.uniform(16, 60, size=(batch, n_small)),
+                rng.uniform(100, 440, size=(batch, n_large))], axis=1)
+            cx = rng.uniform(0, 1024, size=(batch, n_small + n_large))
+            cy = rng.uniform(0, 1024, size=(batch, n_small + n_large))
+            arr = np.stack([np.clip(cx - sizes_px / 2, 0, 1023),
+                            np.clip(cy - sizes_px / 2, 0, 1023),
+                            np.clip(cx + sizes_px / 2, 1, 1024),
+                            np.clip(cy + sizes_px / 2, 1, 1024)], axis=-1)
+            y = rng.uniform(0, 1000, size=(batch, n_strip))
+            strips = np.stack([np.zeros((batch, n_strip)), y,
+                               np.full((batch, n_strip), 1024.0), y + 20],
+                              axis=-1)
+            return jax.device_put(jnp.asarray(
+                np.concatenate([arr, strips], axis=1), dtype=jnp.float32),
+                dev)
+
+        variants = [
+            ("default_s16_L50_E15", {"TD_ROI_SMALL": "16",
+                                     "TD_ROI_LARGE_FRAC": "0.5",
+                                     "TD_ROI_EXACT_FRAC": "0.15"}),
+            ("r3_s16_L25_E0", {"TD_ROI_SMALL": "16",
+                               "TD_ROI_LARGE_FRAC": "0.25",
+                               "TD_ROI_EXACT_FRAC": "0"}),
+            ("tail_s16_L0_E625", {"TD_ROI_SMALL": "16",
+                                  "TD_ROI_LARGE_FRAC": "0",
+                                  "TD_ROI_EXACT_FRAC": "0.625"}),
+            ("all48_E15", {"TD_ROI_SMALL": "0",
+                           "TD_ROI_EXACT_FRAC": "0.15"}),
+            ("puregather", {"TD_PALLAS_ROIALIGN": "0"}),
+        ]
+        results = {}
+        for geom, res, n_boxes in (("box", 7, 1008), ("mask", 14, 104)):
+            boxes = mk_boxes_spanmix(n_boxes)
+            for name, env in variants:
+                for k, v in env.items():
+                    os.environ[k] = v
+
+                @jax.jit
+                def _pool(fm, bx, _r=res):
+                    out, trunc = ra.multilevel_roi_align_batched(
+                        list(fm), bx, _r, strides, return_overflow=True)
+                    return out.astype(jnp.float32).sum(), trunc.sum()
+
+                try:
+                    _, tr = _pool(fmaps, boxes)  # compile
+                    float(tr)
+                    med, _ = median_ms(
+                        lambda: float(_pool(fmaps, boxes)[0]), n=3)
+                    results[f"{geom}_{name}"] = round(med, 1)
+                    results[f"{geom}_{name}_trunc"] = int(tr)
+                    print(f"sweep[roi3]: {geom} {name} {med:.1f}ms "
+                          f"trunc={int(tr)}", file=sys.stderr)
+                except Exception as exc:
+                    results[f"{geom}_{name}"] = f"err:{str(exc)[:80]}"
+                for k in env:
+                    os.environ.pop(k, None)
+        record("roi3", results)
+
+    if "stats" in phases:
+        # postprocess raster-stats cost at the sample's real shapes: single
+        # calls vs the fused two-raster program, first call vs warm call
+        from treedetection_tpu.ops.stats import (
+            polygon_raster_stats_batch, polygon_raster_stats_two)
+        N, P = 2560, 128
+        polys = np.full((N, P, 2), np.nan, dtype=np.float32)
+        rng3 = np.random.default_rng(3)
+        for i in range(N):
+            n = rng3.integers(4, 24)
+            ang = np.sort(rng3.uniform(0, 2 * np.pi, n))
+            r = rng3.uniform(2, 10)
+            cx, cy = rng3.uniform(20, 980, 2)
+            polys[i, :n, 0] = cx + r * np.cos(ang)
+            polys[i, :n, 1] = cy + r * np.sin(ang)
+        hr = rng3.standard_normal((1000, 1000)).astype(np.float32)
+        nr = rng3.standard_normal((200, 200)).astype(np.float32)
+        aff_h = jnp.asarray([1.0, 0, 0, 0, -1.0, 1000.0], dtype=jnp.float32)
+        aff_n = jnp.asarray([5.0, 0, 0, 0, -5.0, 1000.0], dtype=jnp.float32)
+        pj = jax.device_put(jnp.asarray(polys), dev)
+        hj = jax.device_put(jnp.asarray(hr), dev)
+        nj = jax.device_put(jnp.asarray(nr), dev)
+        out = {}
+        t0 = time.time()
+        st = polygon_raster_stats_batch(pj, hj, aff_h)
+        float(st.max[0])
+        out["single_h_first_s"] = round(time.time() - t0, 2)
+        med, _ = median_ms(lambda: float(
+            polygon_raster_stats_batch(pj, hj, aff_h).max[0]), n=3)
+        out["single_h_warm_ms"] = round(med, 1)
+        t0 = time.time()
+        st = polygon_raster_stats_batch(pj, nj, aff_n)
+        float(st.max[0])
+        out["single_n_first_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        a, b = polygon_raster_stats_two(pj, hj, aff_h, nj, aff_n)
+        float(a.max[0])
+        out["fused_first_s"] = round(time.time() - t0, 2)
+        med, _ = median_ms(lambda: float(
+            polygon_raster_stats_two(pj, hj, aff_h, nj, aff_n)[0].max[0]), n=3)
+        out["fused_warm_ms"] = round(med, 1)
+        record("stats", out)
+
     if "backbone" in phases:
         # cumulative sub-stage timing inside the backbone: where do the
         # ~31 ms (relay-corrected) of backbone+rpn actually go?
