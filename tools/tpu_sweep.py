@@ -443,6 +443,90 @@ def main(phases) -> int:
                     os.environ.pop(k, None)
         record("roi3", results)
 
+    if "truncerr" in phases:
+        # ROI-truncation error quantification (VERDICT r3 task 3): run the
+        # real checkpoint on real sample tiles under (a) the round-3 pooling
+        # defaults (s16, large 25%, no exact tail), (b) the round-4 defaults,
+        # and (c) fully-exact gather pooling; match detections (a)/(b) to (c)
+        # by best box IoU and report score/IoU deltas + truncation counts.
+        sys.path.insert(0, os.path.join(REPO, "example"))
+        from example import ensure_sample_data
+        ensure_sample_data()
+        from treedetection_tpu.geo import GeoTiff
+        from treedetection_tpu.models.convert import load_checkpoint
+        from treedetection_tpu.models.mask_rcnn import MaskRCNN
+        from treedetection_tpu.ops.image import resize_bilinear
+
+        scfg = MaskRCNNConfig(depth=50, input_size=size, bf16=True,
+                              rpn_approx_topk_from=16384)
+        smodel = MaskRCNN(scfg)
+        sparams = load_checkpoint(
+            os.path.join(REPO, "example", "data", "model_full.npz"),
+            depth=50, param_dtype=None)
+        sparams = jax.device_put(sparams, dev)
+        g = GeoTiff(os.path.join(REPO, "example", "data", "rgb",
+                                 "324125317.tif"))
+        full = g.read()[:, :, :3]
+        rng2 = np.random.default_rng(1)
+        tiles_l = []
+        for _ in range(batch):
+            y0, x0 = rng2.integers(0, full.shape[0] - 90, 2)
+            tiles_l.append(full[y0:y0 + 90, x0:x0 + 90, :3])
+        tiles_r = jax.device_put(np.stack(tiles_l).astype(np.uint8), dev)
+
+        def run_variant(env):
+            for k, v in env.items():
+                os.environ[k] = v
+
+            @jax.jit
+            def _f(p, t):
+                x = jax.vmap(lambda im: resize_bilinear(
+                    im.astype(jnp.float32), size, size))(t)
+                out = smodel.apply(p, normalize_bgr(x))
+                return out.boxes, out.scores, out.valid, out.roi_overflow
+
+            r = jax.device_get(_f(sparams, tiles_r))
+            for k in env:
+                os.environ.pop(k, None)
+            return [np.asarray(a) for a in r]
+
+        def iou_match(bx_a, va, bx_c, vc):
+            """For each valid det in c, best-IoU det in a -> (iou, pair idx)."""
+            ious, pairs = [], []
+            for b in range(bx_c.shape[0]):
+                ca = bx_a[b][va[b]]
+                for box in bx_c[b][vc[b]]:
+                    if not len(ca):
+                        ious.append(0.0)
+                        pairs.append(None)
+                        continue
+                    x0 = np.maximum(ca[:, 0], box[0])
+                    y0 = np.maximum(ca[:, 1], box[1])
+                    x1 = np.minimum(ca[:, 2], box[2])
+                    y1 = np.minimum(ca[:, 3], box[3])
+                    inter = np.clip(x1 - x0, 0, None) * np.clip(y1 - y0, 0, None)
+                    area_c = (box[2] - box[0]) * (box[3] - box[1])
+                    area_a = (ca[:, 2] - ca[:, 0]) * (ca[:, 3] - ca[:, 1])
+                    iou = inter / np.maximum(area_c + area_a - inter, 1e-9)
+                    ious.append(float(iou.max()))
+            return np.asarray(ious)
+
+        exact = run_variant({"TD_PALLAS_ROIALIGN": "0"})
+        r3 = run_variant({"TD_ROI_SMALL": "16", "TD_ROI_LARGE_FRAC": "0.25",
+                          "TD_ROI_EXACT_FRAC": "0"})
+        r4 = run_variant({})
+        out = {"n_dets_exact": int(exact[2].sum()),
+               "n_dets_r3": int(r3[2].sum()),
+               "n_dets_r4": int(r4[2].sum()),
+               "trunc_r3": int(r3[3].sum()),
+               "trunc_r4": int(r4[3].sum())}
+        for name, var in (("r3", r3), ("r4", r4)):
+            m = iou_match(var[0], var[2], exact[0], exact[2])
+            out[f"{name}_match_iou_mean"] = round(float(m.mean()), 4) \
+                if len(m) else None
+            out[f"{name}_missed_at_iou50"] = int((m < 0.5).sum())
+        record("truncerr", out)
+
     if "stats" in phases:
         # postprocess raster-stats cost at the sample's real shapes: single
         # calls vs the fused two-raster program, first call vs warm call
