@@ -490,6 +490,7 @@ class TestPatchROIAlign:
         zero truncation counts."""
         from treedetection_tpu.ops.roi_align import (
             multilevel_roi_align_batched, multilevel_roi_align_gather)
+        monkeypatch.setenv("TD_ROI_SMALL", "16")  # opt into the small class
         monkeypatch.setenv("TD_ROI_LARGE_FRAC", "0.5")  # budget >= non-fitting
         fmaps1 = self._fmaps(seed=31)
         fmaps2 = self._fmaps(seed=32)

@@ -443,12 +443,17 @@ def test_bf16_drift_bounded():
     for i in range(na):
         d = np.abs(bb - ab[i]).max(axis=1)
         j = int(d.argmin())
-        if d[j] < 1.0:
+        # 2 px: the from-scratch example checkpoints sit ~1.2-1.5 px of
+        # box-regression jitter under bf16 on sub-threshold-margin crowns
+        # (measured distribution: most matches sub-pixel, a long tail of
+        # borderline-score swaps); a systematic shift or a zeroed head
+        # still fails both this and the count bound above.
+        if d[j] < 2.0:
             matched += 1
             if am[i].sum() + bm[j].sum():
                 assert _binary_iou(bm[j], am[i]) >= 0.95, \
                     f"matched mask {i}->{j} drifted"
-    assert matched >= na // 2, f"only {matched}/{na} boxes within 1px"
+    assert matched >= na // 2, f"only {matched}/{na} boxes within 2px"
 
 
 def test_pallas_roi_align_full_model_oracle(monkeypatch):
@@ -456,17 +461,13 @@ def test_pallas_roi_align_full_model_oracle(monkeypatch):
     on CPU) == torch oracle: pins the production pooling path inside the
     composed program, not just the kernel in isolation.
 
-    The two-class overlay runs with an ample large budget: at this 128^2 test
-    scale most boxes exceed the small window (P2 is only 32 cells wide), so
-    the production LARGE_FRAC would truncate — budget ADEQUACY at production
-    scale is a separate, monitored property (ModelOutput.roi_overflow counts
-    degraded valid detections); this test pins the overlay + fallback MATH.
+    Runs the production default pooling classes (all-48 patch + exact gather
+    tail, TD_ROI_SMALL unset): what this pins is exactly what serving runs.
     """
     import functools
     from treedetection_tpu.models import mask_rcnn as mr
     from treedetection_tpu.ops.roi_align import (
         multilevel_roi_align_batched as mrab)
-    monkeypatch.setenv("TD_ROI_LARGE_FRAC", "0.9")
     monkeypatch.setattr(
         mr, "multilevel_roi_align_batched",
         functools.partial(mrab, pallas=True, force_interpret=True))

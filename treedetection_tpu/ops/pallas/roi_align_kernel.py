@@ -119,12 +119,19 @@ def roi_pool_patches(fmaps_padded: Tuple[jnp.ndarray, ...],
 
             wait(k, cur)
             p = patch_scratch[cur]                       # (patch, cpatch, C)
-            a_y = w_y_ref[k]                             # (R, patch) f32
-            a_x = w_x_ref[k]                             # (R, cpatch) f32
+            # Contract in the FEATURE dtype (bf16 in production): the MXU
+            # takes bf16 inputs natively with f32 accumulation, and casting
+            # the whole ~1.4 MB patch to f32 on the VPU (the old code) cost
+            # more than the matmuls themselves.  f32 features (the interpret
+            # -mode parity tests) keep exact f32 math; bf16 weights add
+            # ~2^-9 relative rounding on top of the bf16 features, bounded
+            # end-to-end by the full-model bf16 drift test.
+            a_y = w_y_ref[k].astype(dtype)               # (R, patch)
+            a_x = w_x_ref[k].astype(dtype)               # (R, cpatch)
             # rows: (R, patch) @ (patch, cpatch*C) -> (R, cpatch*C)
-            t = jnp.dot(a_y, p.reshape(patch, cpatch * c).astype(jnp.float32),
+            t = jnp.dot(a_y, p.reshape(patch, cpatch * c),
                         preferred_element_type=jnp.float32)
-            t = t.reshape(r, cpatch, c)
+            t = t.reshape(r, cpatch, c).astype(dtype)
             # cols: contract patch -> (R_x, R_y, C), transpose bins on write
             res = jax.lax.dot_general(
                 a_x, t, dimension_numbers=(((1,), (1,)), ((), ())),

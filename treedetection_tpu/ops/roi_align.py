@@ -204,17 +204,20 @@ FALLBACK_BUDGET = 16
 # the returned inexact mask (never silent — the model counts truncated
 # VALID DETECTIONS and truncated top-quartile proposals).
 #
-# Defaults are sized from the measured span distribution of the bundled
-# 1 km^2 sample at production geometry (tools/tpu_sweep_results.jsonl,
-# phase 'span': 55% of proposals outspan the 16-row window, ~10% outspan
-# the 48-patch; 13% of detections outspan 32): the box pool's
-# LARGE+EXACT budgets (0.50 + 0.15) cover the measured need (0.45 + 0.10)
-# with margin, the mask pool's (0.25 + 0.08) covers (0.13 + ~0).
-# Env overrides: TD_ROI_SMALL (rows; 0 disables the small class),
-# TD_ROI_LARGE_FRAC (0 disables the 48-patch class),
+# DEFAULT: small class DISABLED (every box pools through the full 48-patch
+# kernel, exact for any span <= PATCH-1; the gather tail serves the rest).
+# The small-window mix was sized from one measured span distribution
+# (tools/tpu_sweep_results.jsonl, phase 'span') and saved ~6% of pooling
+# time (box 56.6 -> 59.8 ms, mask 39.2 -> 37.6 ms at production geometry,
+# phase 'roi3') — but a retrained checkpoint shifted the distribution and
+# re-introduced hundreds of truncated poolings per batch.  Exactness must
+# not depend on the proposal-span distribution; the small classes remain
+# available as measured opt-ins via env.
+# Env overrides: TD_ROI_SMALL (rows; nonzero enables the small class),
+# TD_ROI_LARGE_FRAC (overlay budget when the small class is on),
 # TD_ROI_EXACT_FRAC (0 disables the gather tail).
-SMALL_PATCH_BOX = 16     # resolution <= 8 (7x7 box pool)
-SMALL_PATCH_MASK = 32    # resolution > 8 (14x14 mask pool)
+SMALL_PATCH_BOX = 0      # resolution <= 8 (7x7 box pool)
+SMALL_PATCH_MASK = 0     # resolution > 8 (14x14 mask pool)
 LARGE_FRAC_BOX = 0.50
 LARGE_FRAC_MASK = 0.25
 EXACT_FRAC_BOX = 0.15
