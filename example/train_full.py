@@ -43,9 +43,10 @@ def main() -> int:
     parser.add_argument("--ckpt", default=os.path.join(HERE, "data",
                                                        "model_full.ckpt"))
     parser.add_argument("--holdout-frac", type=float, default=0.0,
-                        help="spatially hold out the eastern fraction of the "
-                             "sample from training (0 disables); the held-out "
-                             "bounds land in data/holdout.json for evaluate.py")
+                        help="spatially hold out a centered interior strip "
+                             "covering this fraction of the sample from "
+                             "training (0 disables); the held-out bounds land "
+                             "in data/holdout.json for evaluate.py")
     parser.add_argument("--freeze", type=int, default=None,
                         help="backbone stages to freeze; default 3 when "
                              "continuing from a pretrained checkpoint "
@@ -92,18 +93,27 @@ def main() -> int:
         g = GeoTiff(rgb)
         b = g.bounds
         g.close()
-        cutoff = b[2] - (b[2] - b[0]) * args.holdout_frac
-        exclude_bounds = (cutoff, b[1], b[2], b[3])
+        # CENTERED interior strip, not an edge strip: the serving pipeline's
+        # overlap-interior exclusion (postprocessing.border_overlap_exclusion,
+        # reference postprocessing.py:574-607) drops every crown within
+        # (tile+2*buffer)*overlapping_tiles/2 = 135 m of the raster border, so
+        # an edge holdout lands almost entirely in that dead band and the
+        # held-out eval scores the filter, not the model.
+        half = (b[2] - b[0]) * args.holdout_frac / 2.0
+        cx = (b[0] + b[2]) / 2.0
+        exclude_bounds = (cx - half, b[1], cx + half, b[3])
         with open(os.path.join(HERE, "data", "holdout.json"), "w") as fh:
             json.dump({"held_out_bounds": exclude_bounds,
                        "holdout_frac": args.holdout_frac}, fh)
-        # shard dir is keyed by the holdout fraction: a rerun with a
+        # shard dir is keyed by the holdout geometry: a rerun with a
         # different --holdout-frac must NOT silently reuse shards built with
         # the old exclusion (holdout.json would record bounds the training
-        # set actually overlaps, inflating the held-out eval)
+        # set actually overlaps, inflating the held-out eval); the "c" marks
+        # the centered-strip layout vs the old eastern-edge one
         shards_dir = os.path.join(
-            HERE, "data", f"full_shards_holdout_{args.holdout_frac:g}")
-        log.info(f"[2/4] spatial holdout: excluding x >= {cutoff:.0f} "
+            HERE, "data", f"full_shards_holdout_c{args.holdout_frac:g}")
+        log.info(f"[2/4] spatial holdout: excluding {exclude_bounds[0]:.0f} "
+                 f"<= x <= {exclude_bounds[2]:.0f} "
                  f"({args.holdout_frac:.0%} of the sample) from training")
     existing = sorted(glob.glob(os.path.join(shards_dir, "train_*.npz")))
     if existing:
