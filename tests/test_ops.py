@@ -575,12 +575,46 @@ class TestPatchROIAlign:
         assert np.asarray(n_over).tolist() == [4, 0]
 
     def test_batched_overlay_disabled_matches_gather(self, monkeypatch):
-        """TD_ROI_SMALL=0 keeps the single-class 48-patch path."""
+        """The production DEFAULT path (all-48, VMEM-resident kernel)
+        matches the gather oracle."""
         from treedetection_tpu.ops.roi_align import (
             multilevel_roi_align_batched, multilevel_roi_align_gather)
         monkeypatch.setenv("TD_ROI_SMALL", "0")
         fmaps1 = self._fmaps(seed=35)
         fmaps2 = self._fmaps(seed=36)
+        fmaps = [jnp.stack([a, b]) for a, b in zip(fmaps1, fmaps2)]
+        boxes = self._batched_mixed_boxes()
+        fast, n_over = multilevel_roi_align_batched(
+            fmaps, boxes, 7, (4, 8, 16, 32), pallas=True,
+            force_interpret=True, return_overflow=True)
+        assert np.asarray(n_over).tolist() == [0, 0]
+        for b, fm in enumerate((fmaps1, fmaps2)):
+            ref = np.asarray(multilevel_roi_align_gather(
+                fm, boxes[b], 7, (4, 8, 16, 32)))
+            assert np.allclose(np.asarray(fast[b]), ref, atol=2e-5)
+
+    @pytest.mark.parametrize("mode", ("split", "patch_dma"))
+    def test_batched_resident_variants_match_gather(self, monkeypatch, mode):
+        """The resident kernel under a forced C-split, and the patch-DMA
+        fallback (TD_ROI_RESIDENT=0), both match the gather oracle on the
+        all-48 path."""
+        from treedetection_tpu.ops.roi_align import (
+            multilevel_roi_align_batched, multilevel_roi_align_gather)
+        monkeypatch.setenv("TD_ROI_SMALL", "0")
+        if mode == "split":
+            # budget below the whole-C footprint but above the C/2 one ->
+            # the c_split=2 grid path runs
+            from treedetection_tpu.ops.pallas.roi_align_kernel import (
+                resident_vmem_bytes)
+            full = resident_vmem_bytes([64, 32, 16, 8], [64, 32, 16, 8],
+                                       16, 48, 4)
+            # below full-C + slack, above half-C + slack -> c_split=2
+            monkeypatch.setenv("TD_ROI_VMEM_MB",
+                               str((full * 0.75 + (4 << 20)) / (1 << 20)))
+        else:
+            monkeypatch.setenv("TD_ROI_RESIDENT", "0")
+        fmaps1 = self._fmaps(seed=37)
+        fmaps2 = self._fmaps(seed=38)
         fmaps = [jnp.stack([a, b]) for a, b in zip(fmaps1, fmaps2)]
         boxes = self._batched_mixed_boxes()
         fast, n_over = multilevel_roi_align_batched(

@@ -165,3 +165,150 @@ def roi_pool_patches(fmaps_padded: Tuple[jnp.ndarray, ...],
         # copies + hat-matrix math get CI coverage without a chip.
         interpret=pltpu.InterpretParams() if interpret else False,
     )(meta[:, 0], meta[:, 1], meta[:, 2], ay, ax, *fmaps_padded)
+
+
+def resident_vmem_bytes(hs, ws, c_blk: int, patch: int,
+                        itemsize: int) -> int:
+    """VMEM scratch bytes for the resident kernel's per-image level
+    sections (one C-block)."""
+    cpatch = patch + 8
+    return sum((int(h) + patch) * (int(w) + cpatch) * c_blk * itemsize
+               for h, w in zip(hs, ws))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "resolution", "patch", "chunk", "n_images", "c_split", "interpret"))
+def roi_pool_resident(fmaps_padded: Tuple[jnp.ndarray, ...],
+                      meta: jnp.ndarray, ay: jnp.ndarray, ax: jnp.ndarray,
+                      resolution: int, patch: int, chunk: int,
+                      n_images: int, c_split: int = 1,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Pool N = n_images * boxes_per_image boxes -> (N, R, R, C) with the
+    feature levels RESIDENT in VMEM.
+
+    The patch-DMA kernel (:func:`roi_pool_patches`) re-reads every box's
+    (patch, cpatch, C) window from HBM — ~1.4 MB per box at C=256 bf16,
+    an 11 GB / 13.5 ms HBM floor for a batch-8 x 1008-box pool at 48-patch
+    exactness.  Tree crowns are DENSE (hundreds per tile), so the windows
+    overlap massively: this kernel instead copies each image's four level
+    sections HBM->VMEM ONCE (~9.5 MB/image at C=256 bf16 after padding,
+    0.6 ms for the whole batch) and slices every box's patch straight from
+    the resident sections.  Per-box cost drops to the two hat-matrix MXU
+    contractions.
+
+    ``fmaps_padded``: per-level (B*(H_l+patch), W_l+cpatch, C) buffers —
+    the SAME row-concatenated layout the patch-DMA kernel takes; image b of
+    level l occupies rows [b*(H_l+patch), (b+1)*(H_l+patch)).
+    ``meta``: (N, 3) int32 [level, row0, col0] with row0 IMAGE-RELATIVE
+    (no row base) and col0 % 8 == 0.  Boxes are image-grouped: box i
+    belongs to image i // (N // n_images); the caller pads each image's
+    box list to a multiple of ``chunk``.
+    ``c_split``: process C in c_split blocks (grid dim) to bound the VMEM
+    scratch; ``resident_vmem_bytes`` gives the per-block footprint.
+
+    Grid (n_images, c_split, chunks_per_image), last dim fastest: the level
+    sections are refreshed once per (image, C-block) and stay resident for
+    all of the image's chunks.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = meta.shape[0]
+    c = fmaps_padded[0].shape[-1]
+    cpatch = patch + 8
+    r = resolution
+    dtype = fmaps_padded[0].dtype
+    n_levels = len(fmaps_padded)
+    assert c % c_split == 0, (c, c_split)
+    c_blk = c // c_split
+    assert n % n_images == 0, (n, n_images)
+    n_per = n // n_images
+    assert n_per % chunk == 0, "caller pads each image's boxes to chunk"
+    npc = n_per // chunk
+    # per-image section heights (python ints; derived from the concatenated
+    # buffer shape, so they already include the +patch bottom padding)
+    sec_hs = [f.shape[0] // n_images for f in fmaps_padded]
+    sec_ws = [f.shape[1] for f in fmaps_padded]
+
+    def kernel(lvl_ref, row_ref, col_ref, w_y_ref, w_x_ref, *rest):
+        frefs = rest[:n_levels]
+        out_ref = rest[n_levels]
+        secs = rest[n_levels + 1:n_levels + 1 + n_levels]
+        sems = rest[n_levels + 1 + n_levels]
+        b = pl.program_id(0)
+        j = pl.program_id(2)
+        cb = pl.program_id(1) * c_blk
+
+        # refresh the resident sections when this grid step is the first
+        # chunk of a new (image, C-block); issue all four copies, then wait
+        # (their latencies overlap each other)
+        @pl.when(j == 0)
+        def _():
+            for l in range(n_levels):
+                pltpu.make_async_copy(
+                    frefs[l].at[pl.ds(b * sec_hs[l], sec_hs[l]), :,
+                                pl.ds(cb, c_blk)],
+                    secs[l], sems.at[l]).start()
+            for l in range(n_levels):
+                pltpu.make_async_copy(
+                    frefs[l].at[pl.ds(b * sec_hs[l], sec_hs[l]), :,
+                                pl.ds(cb, c_blk)],
+                    secs[l], sems.at[l]).wait()
+
+        def body(k, _):
+            i = (b * npc + j) * chunk + k
+            lvl = lvl_ref[i]
+            r0 = row_ref[i]
+            c0 = pl.multiple_of(col_ref[i], 8)
+            # contract in the feature dtype (bf16 in production): MXU-native
+            # with f32 accumulation; f32 features (the interpret-mode parity
+            # tests) keep exact f32 math
+            a_y = w_y_ref[k].astype(dtype)               # (R, patch)
+            a_x = w_x_ref[k].astype(dtype)               # (R, cpatch)
+            for l in range(n_levels):
+                @pl.when(lvl == l)
+                def _(l=l):
+                    p = secs[l][pl.ds(r0, patch), pl.ds(c0, cpatch), :]
+                    t = jnp.dot(a_y, p.reshape(patch, cpatch * c_blk),
+                                preferred_element_type=jnp.float32)
+                    t = t.reshape(r, cpatch, c_blk).astype(dtype)
+                    res = jax.lax.dot_general(
+                        a_x, t, dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (R_j, R_i, Cb)
+                    out_ref[k] = jnp.transpose(
+                        res, (1, 0, 2)).astype(out_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_images, c_split, npc),
+        in_specs=[
+            pl.BlockSpec((chunk, r, patch),
+                         lambda b, cb, j, *_: (b * npc + j, 0, 0)),
+            pl.BlockSpec((chunk, r, cpatch),
+                         lambda b, cb, j, *_: (b * npc + j, 0, 0)),
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * n_levels,
+        out_specs=pl.BlockSpec((chunk, r, r, c_blk),
+                               lambda b, cb, j, *_: (b * npc + j, 0, 0, cb)),
+        scratch_shapes=[
+            pltpu.VMEM((h, w, c_blk), dtype)
+            for h, w in zip(sec_hs, sec_ws)
+        ] + [pltpu.SemaphoreType.DMA((n_levels,))],
+    )
+    vmem_need = (resident_vmem_bytes(
+        [h - patch for h in sec_hs], [w - cpatch for w in sec_ws],
+        c_blk, patch, np.dtype(dtype).itemsize)
+        + 2 * chunk * r * (patch + cpatch) * 4      # weight blocks (dbl-buf)
+        + 2 * chunk * r * r * c_blk * np.dtype(dtype).itemsize  # out blocks
+        + (1 << 21))                                # slack
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, r, r, c), dtype),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=min(int(vmem_need), 128 * 1024 * 1024)),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(meta[:, 0], meta[:, 1], meta[:, 2], ay, ax, *fmaps_padded)

@@ -533,6 +533,59 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     return out
 
 
+def _launch_resident_kernel(kpadded, meta: jnp.ndarray, ay_f: jnp.ndarray,
+                            ax_f: jnp.ndarray, resolution: int, n_images: int,
+                            force_interpret: bool) -> Optional[jnp.ndarray]:
+    """Launch the VMEM-resident pooler (``roi_pool_resident``): per-image
+    level sections copied HBM->VMEM once, boxes sliced from the resident
+    sections — removes the per-box patch-DMA HBM floor (~1.4 MB/box).
+
+    ``meta`` rows must be IMAGE-RELATIVE (no row base) and image-grouped.
+    Returns None when no C-split fits the VMEM budget (TD_ROI_VMEM_MB,
+    default 80) — the caller falls back to the patch-DMA kernel.
+    """
+    from treedetection_tpu.ops.pallas import roi_align_kernel as _rk
+    import os as _os
+    n = meta.shape[0]
+    n_per = n // n_images
+    c = kpadded[0].shape[-1]
+    itemsize = np.dtype(kpadded[0].dtype).itemsize
+    hs = [f.shape[0] // n_images - PATCH for f in kpadded]
+    ws = [f.shape[1] - (PATCH + 8) for f in kpadded]
+    budget = int(float(_os.environ.get("TD_ROI_VMEM_MB", "80")) * (1 << 20))
+    c_split = None
+    s = 1
+    while c % s == 0:
+        if _rk.resident_vmem_bytes(hs, ws, c // s, PATCH, itemsize) \
+                + (4 << 20) <= budget:
+            c_split = s
+            break
+        s *= 2
+    if c_split is None:
+        return None
+    chunk_k = 128 if resolution <= 8 else 32
+    if _os.environ.get("TD_ROI_CHUNK"):
+        chunk_k = int(_os.environ["TD_ROI_CHUNK"])
+    chunk_k = min(chunk_k, n_per)
+    pad_per = (-n_per) % chunk_k
+    if pad_per:
+        def pad_img(a):
+            shp = (n_images, n_per) + a.shape[1:]
+            widths = [(0, 0), (0, pad_per)] + [(0, 0)] * (a.ndim - 1)
+            padded = jnp.pad(a.reshape(shp), widths)
+            return padded.reshape((n_images * (n_per + pad_per),)
+                                  + a.shape[1:])
+        meta, ay_f, ax_f = pad_img(meta), pad_img(ay_f), pad_img(ax_f)
+    out = _rk.roi_pool_resident(
+        kpadded, meta, ay_f.astype(jnp.float32), ax_f.astype(jnp.float32),
+        resolution, PATCH, chunk_k, n_images, c_split,
+        interpret=force_interpret)
+    if pad_per:
+        out = out.reshape((n_images, n_per + pad_per) + out.shape[1:])
+        out = out[:, :n_per].reshape((n,) + out.shape[2:])
+    return out
+
+
 def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
                                  boxes: jnp.ndarray,
                                  resolution: int, strides: Sequence[int],
@@ -637,8 +690,17 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
                                    force_interpret)
     else:
         need_large = jnp.zeros((B, N), bool)
-        out = _launch_patch_kernel(kpadded, meta, ay_f, ax_f, resolution,
-                                   force_interpret)
+        out = None
+        if _os.environ.get("TD_ROI_RESIDENT", "1") != "0":
+            # VMEM-resident pooling needs image-relative patch rows (each
+            # image's sections are separate resident buffers)
+            meta_rel = jnp.stack([levels, oy, ox_al],
+                                 axis=1).astype(jnp.int32)
+            out = _launch_resident_kernel(kpadded, meta_rel, ay_f, ax_f,
+                                          resolution, B, force_interpret)
+        if out is None:
+            out = _launch_patch_kernel(kpadded, meta, ay_f, ax_f, resolution,
+                                       force_interpret)
 
     img_base = jnp.arange(B, dtype=jnp.int32)[:, None] * N
     sel_large = jnp.zeros((n,), bool)
