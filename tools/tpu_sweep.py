@@ -647,6 +647,56 @@ def main(phases) -> int:
                 out[upto] = f"err:{str(exc)[:120]}"
         record("backbone", out)
 
+    if "mfu" in phases:
+        # Backbone MFU levers (VERDICT r3 task 4): scan-over-blocks vs
+        # unrolled res stages, and the RPN-head increment, at production
+        # geometry (R101 @ 1024^2, batch 8, bf16).  XLA_FLAGS must be set
+        # before process start, so flag A/B runs are separate invocations —
+        # the active flags are recorded with each measurement.
+        import os as _os
+        out = {"xla_flags": _os.environ.get("XLA_FLAGS", "")}
+        for scan in (True, False):
+            tag = "scan" if scan else "unroll"
+            try:
+                cfgv = MaskRCNNConfig(depth=101, input_size=size, bf16=True,
+                                      scan_blocks=scan)
+                mv, pv = create_model(cfgv)
+                pv = jax.device_put(pv, dev)
+
+                @jax.jit
+                def bb_fn(p, x, _m=mv, _c=cfgv):
+                    feats = _m.apply(p, x, method=lambda s, im: s.backbone(
+                        im.astype(_c.dtype)))
+                    return feats[0].astype(jnp.float32).sum()
+
+                @jax.jit
+                def bbrpn_fn(p, x, _m=mv, _c=cfgv):
+                    feats = _m.apply(p, x, method=lambda s, im: s.backbone(
+                        im.astype(_c.dtype)))
+                    lg, dl = _m.apply(p, feats,
+                                      method=lambda s, f: s.rpn_head(f))
+                    return lg[0].astype(jnp.float32).sum()
+
+                xin = jax.device_put(jax.device_get(jax.jit(
+                    lambda t: normalize_bgr(t.astype(jnp.float32)))(tiles)),
+                    dev)
+                t0 = time.time()
+                float(bb_fn(pv, xin))
+                out[f"compile_bb_{tag}_s"] = round(time.time() - t0, 1)
+                med, _ = median_ms(lambda: float(bb_fn(pv, xin)), n=5)
+                out[f"backbone_{tag}_ms"] = round(med, 1)
+                t0 = time.time()
+                float(bbrpn_fn(pv, xin))
+                out[f"compile_bbrpn_{tag}_s"] = round(time.time() - t0, 1)
+                med2, _ = median_ms(lambda: float(bbrpn_fn(pv, xin)), n=5)
+                out[f"bb_rpn_{tag}_ms"] = round(med2, 1)
+                print(f"sweep[mfu]: {tag} bb={med:.1f}ms bb+rpn={med2:.1f}ms",
+                      file=sys.stderr)
+                del mv, pv
+            except Exception as exc:
+                out[tag] = f"err:{str(exc)[:160]}"
+        record("mfu", out)
+
     return 0
 
 
