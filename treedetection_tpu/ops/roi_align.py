@@ -542,7 +542,11 @@ def _launch_resident_kernel(kpadded, meta: jnp.ndarray, ay_f: jnp.ndarray,
 
     ``meta`` rows must be IMAGE-RELATIVE (no row base) and image-grouped.
     Returns None when no C-split fits the VMEM budget (TD_ROI_VMEM_MB,
-    default 80) — the caller falls back to the patch-DMA kernel.
+    default 64 — conservative: at production geometry it selects c_split=2,
+    ~42 MB of scratch, which fits any plausible VMEM while costing only one
+    extra ~0.6 ms section reload per batch; raise toward the chip's real
+    capacity after measuring) — the caller falls back to the patch-DMA
+    kernel.
     """
     from treedetection_tpu.ops.pallas import roi_align_kernel as _rk
     import os as _os
@@ -552,7 +556,7 @@ def _launch_resident_kernel(kpadded, meta: jnp.ndarray, ay_f: jnp.ndarray,
     itemsize = np.dtype(kpadded[0].dtype).itemsize
     hs = [f.shape[0] // n_images - PATCH for f in kpadded]
     ws = [f.shape[1] - (PATCH + 8) for f in kpadded]
-    budget = int(float(_os.environ.get("TD_ROI_VMEM_MB", "80")) * (1 << 20))
+    budget = int(float(_os.environ.get("TD_ROI_VMEM_MB", "64")) * (1 << 20))
     c_split = None
     s = 1
     while c % s == 0:
