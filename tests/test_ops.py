@@ -608,9 +608,9 @@ class TestPatchROIAlign:
                 resident_vmem_bytes)
             full = resident_vmem_bytes([64, 32, 16, 8], [64, 32, 16, 8],
                                        16, 48, 4)
-            # below full-C + slack, above half-C + slack -> c_split=2
+            # below full-C + margin, above half-C + margin -> c_split=2
             monkeypatch.setenv("TD_ROI_VMEM_MB",
-                               str((full * 0.75 + (4 << 20)) / (1 << 20)))
+                               str((full * 0.75 + (32 << 20)) / (1 << 20)))
         else:
             monkeypatch.setenv("TD_ROI_RESIDENT", "0")
         fmaps1 = self._fmaps(seed=37)

@@ -297,18 +297,19 @@ def roi_pool_resident(fmaps_padded: Tuple[jnp.ndarray, ...],
             for h, w in zip(sec_hs, sec_ws)
         ] + [pltpu.SemaphoreType.DMA((n_levels,))],
     )
+    # Mosaic's scoped accounting includes double-buffered blocks, stack
+    # temps, and layout padding well beyond the raw scratch (measured
+    # ~29 MB extra at production geometry) — hand it generous headroom.
     vmem_need = (resident_vmem_bytes(
         [h - patch for h in sec_hs], [w - cpatch for w in sec_ws],
         c_blk, patch, np.dtype(dtype).itemsize)
-        + 2 * chunk * r * (patch + cpatch) * 4      # weight blocks (dbl-buf)
-        + 2 * chunk * r * r * c_blk * np.dtype(dtype).itemsize  # out blocks
-        + (1 << 21))                                # slack
+        + (48 << 20))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, r, r, c), dtype),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=min(int(vmem_need), 128 * 1024 * 1024)),
+            vmem_limit_bytes=min(int(vmem_need), 127 * 1024 * 1024)),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(meta[:, 0], meta[:, 1], meta[:, 2], ay, ax, *fmaps_padded)
