@@ -170,9 +170,11 @@ def roi_pool_patches(fmaps_padded: Tuple[jnp.ndarray, ...],
 def resident_vmem_bytes(hs, ws, c_blk: int, patch: int,
                         itemsize: int) -> int:
     """VMEM scratch bytes for the resident kernel's per-image level
-    sections (one C-block)."""
+    sections (one C-block).  Sections hold the UNPADDED level (window
+    origins are clamped inside and the hat weights shifted to match), so
+    each is (max(H_l, patch), max(W_l, patch+8))."""
     cpatch = patch + 8
-    return sum((int(h) + patch) * (int(w) + cpatch) * c_blk * itemsize
+    return sum(max(int(h), patch) * max(int(w), cpatch) * c_blk * itemsize
                for h, w in zip(hs, ws))
 
 
@@ -198,13 +200,23 @@ def roi_pool_resident(fmaps_padded: Tuple[jnp.ndarray, ...],
 
     ``fmaps_padded``: per-level (B*(H_l+patch), W_l+cpatch, C) buffers —
     the SAME row-concatenated layout the patch-DMA kernel takes; image b of
-    level l occupies rows [b*(H_l+patch), (b+1)*(H_l+patch)).
+    level l occupies rows [b*(H_l+patch), (b+1)*(H_l+patch)).  Only the
+    UNPADDED (max(H_l, patch), max(W_l, cpatch)) top-left corner of each
+    section is copied to VMEM: window origins must be pre-clamped by the
+    caller to [0, sec_h-patch] x [0, sec_w-cpatch] with the hat weights
+    shifted to match (a clamped window always contains the full in-image
+    span of a fitting box, since origin+span <= dim-1).  Dropping the pad
+    rows/cols cuts the scratch ~40% — necessary, because the backend's
+    AOT path does not honor ``vmem_limit_bytes`` overrides and the padded
+    c_split=2 footprint exceeded the 64 MiB scoped-vmem default.
     ``meta``: (N, 3) int32 [level, row0, col0] with row0 IMAGE-RELATIVE
-    (no row base) and col0 % 8 == 0.  Boxes are image-grouped: box i
-    belongs to image i // (N // n_images); the caller pads each image's
-    box list to a multiple of ``chunk``.
+    (no row base), clamped as above, and col0 % 8 == 0.  Boxes are
+    image-grouped: box i belongs to image i // (N // n_images); the caller
+    pads each image's box list to a multiple of ``chunk``.
     ``c_split``: process C in c_split blocks (grid dim) to bound the VMEM
     scratch; ``resident_vmem_bytes`` gives the per-block footprint.
+    NOTE: c_blk = C/c_split must stay >= 128 (Mosaic requires output block
+    minor dims divisible by 128) — the caller's split loop enforces it.
 
     Grid (n_images, c_split, chunks_per_image), last dim fastest: the level
     sections are refreshed once per (image, C-block) and stay resident for
@@ -225,10 +237,11 @@ def roi_pool_resident(fmaps_padded: Tuple[jnp.ndarray, ...],
     n_per = n // n_images
     assert n_per % chunk == 0, "caller pads each image's boxes to chunk"
     npc = n_per // chunk
-    # per-image section heights (python ints; derived from the concatenated
-    # buffer shape, so they already include the +patch bottom padding)
-    sec_hs = [f.shape[0] // n_images for f in fmaps_padded]
-    sec_ws = [f.shape[1] for f in fmaps_padded]
+    # per-image PADDED section heights in the source buffers, and the
+    # smaller UNPADDED window actually copied to VMEM
+    src_hs = [f.shape[0] // n_images for f in fmaps_padded]
+    sec_hs = [max(h - patch, patch) for h in src_hs]
+    sec_ws = [max(f.shape[1] - cpatch, cpatch) for f in fmaps_padded]
 
     def kernel(lvl_ref, row_ref, col_ref, w_y_ref, w_x_ref, *rest):
         frefs = rest[:n_levels]
@@ -246,13 +259,13 @@ def roi_pool_resident(fmaps_padded: Tuple[jnp.ndarray, ...],
         def _():
             for l in range(n_levels):
                 pltpu.make_async_copy(
-                    frefs[l].at[pl.ds(b * sec_hs[l], sec_hs[l]), :,
-                                pl.ds(cb, c_blk)],
+                    frefs[l].at[pl.ds(b * src_hs[l], sec_hs[l]),
+                                pl.ds(0, sec_ws[l]), pl.ds(cb, c_blk)],
                     secs[l], sems.at[l]).start()
             for l in range(n_levels):
                 pltpu.make_async_copy(
-                    frefs[l].at[pl.ds(b * sec_hs[l], sec_hs[l]), :,
-                                pl.ds(cb, c_blk)],
+                    frefs[l].at[pl.ds(b * src_hs[l], sec_hs[l]),
+                                pl.ds(0, sec_ws[l]), pl.ds(cb, c_blk)],
                     secs[l], sems.at[l]).wait()
 
         def body(k, _):
@@ -301,7 +314,8 @@ def roi_pool_resident(fmaps_padded: Tuple[jnp.ndarray, ...],
     # temps, and layout padding well beyond the raw scratch (measured
     # ~29 MB extra at production geometry) — hand it generous headroom.
     vmem_need = (resident_vmem_bytes(
-        [h - patch for h in sec_hs], [w - cpatch for w in sec_ws],
+        [h - patch for h in src_hs], [f.shape[1] - cpatch
+                                      for f in fmaps_padded],
         c_blk, patch, np.dtype(dtype).itemsize)
         + (48 << 20))
     return pl.pallas_call(

@@ -533,46 +533,68 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     return out
 
 
-def _launch_resident_kernel(kpadded, meta: jnp.ndarray, ay_f: jnp.ndarray,
-                            ax_f: jnp.ndarray, resolution: int, n_images: int,
+def _launch_resident_kernel(kpadded, levels: jnp.ndarray, oy: jnp.ndarray,
+                            ox_al: jnp.ndarray, sy: jnp.ndarray,
+                            sx_al: jnp.ndarray, valid_y: jnp.ndarray,
+                            valid_x: jnp.ndarray, resolution: int,
+                            sampling_ratio: int, n_images: int,
                             force_interpret: bool) -> Optional[jnp.ndarray]:
     """Launch the VMEM-resident pooler (``roi_pool_resident``): per-image
     level sections copied HBM->VMEM once, boxes sliced from the resident
     sections — removes the per-box patch-DMA HBM floor (~1.4 MB/box).
 
-    ``meta`` rows must be IMAGE-RELATIVE (no row base) and image-grouped.
+    Takes the raw per-box geometry (image-relative origins + patch-relative
+    sample coords, image-grouped) because the resident sections hold only
+    the UNPADDED level: origins are clamped to [0, sec-window] and the
+    sample coords shifted by the clamp before folding the hat matrices — a
+    clamped window always contains the full in-image span of a fitting box
+    (origin + span <= dim - 1), so the math is unchanged.
+
     Returns None when no C-split fits the VMEM budget (TD_ROI_VMEM_MB,
-    default 64 — conservative: at production geometry it selects c_split=2,
-    ~42 MB of scratch, which fits any plausible VMEM while costing only one
-    extra ~0.6 ms section reload per batch; raise toward the chip's real
-    capacity after measuring) — the caller falls back to the patch-DMA
+    default 64 = the scoped-vmem ceiling the backend's AOT compiler
+    enforces regardless of vmem_limit_bytes; a 32 MB margin covers Mosaic's
+    measured accounting overhead) — the caller falls back to the patch-DMA
     kernel.
     """
     from treedetection_tpu.ops.pallas import roi_align_kernel as _rk
     import os as _os
-    n = meta.shape[0]
+    n = levels.shape[0]
     n_per = n // n_images
     c = kpadded[0].shape[-1]
+    cpatch = PATCH + 8
     itemsize = np.dtype(kpadded[0].dtype).itemsize
     hs = [f.shape[0] // n_images - PATCH for f in kpadded]
-    ws = [f.shape[1] - (PATCH + 8) for f in kpadded]
+    ws = [f.shape[1] - cpatch for f in kpadded]
     budget = int(float(_os.environ.get("TD_ROI_VMEM_MB", "64")) * (1 << 20))
-    # Mosaic's scoped-vmem accounting runs ~29 MB above the raw section
-    # scratch at production geometry (measured: 66.37 MB scoped for a
-    # 37.8 MB c_split=2 scratch — double-buffered out/weight blocks, stack
-    # temps, layout padding); size the split against budget minus that
-    # margin so the compile fits even when vmem_limit_bytes is not honored
-    # by the backend's AOT path.
     c_split = None
     s = 1
     while c % s == 0:
-        if _rk.resident_vmem_bytes(hs, ws, c // s, PATCH, itemsize) \
+        # Mosaic requires output-block minor dims divisible by 128 (or the
+        # full dim), so C-splits below 128 channels are TPU-invalid; the
+        # interpret path (CI) has no such constraint.
+        blk_ok = force_interpret or s == 1 or (c // s) % 128 == 0
+        if blk_ok and _rk.resident_vmem_bytes(hs, ws, c // s, PATCH,
+                                              itemsize) \
                 + (32 << 20) <= budget:
             c_split = s
             break
         s *= 2
     if c_split is None:
         return None
+
+    # clamp window origins into the unpadded sections; shift the
+    # patch-relative sample coords to match, then fold the hat matrices
+    sec_hs = [max(h, PATCH) for h in hs]
+    sec_ws = [max(w, cpatch) for w in ws]
+    max_r0 = jnp.asarray([h - PATCH for h in sec_hs], jnp.int32)[levels]
+    max_c0 = jnp.asarray([w - cpatch for w in sec_ws], jnp.int32)[levels]
+    r0 = jnp.minimum(oy, max_r0)
+    c0 = jnp.minimum(ox_al, max_c0)
+    sy2 = sy + (oy - r0).astype(sy.dtype)[:, None]
+    sx2 = sx_al + (ox_al - c0).astype(sx_al.dtype)[:, None]
+    ay_f, ax_f = _fold_hats(sy2, sx2, valid_y, valid_x, resolution,
+                            sampling_ratio, cpatch)
+    meta = jnp.stack([levels, r0, c0], axis=1).astype(jnp.int32)
     chunk_k = 128 if resolution <= 8 else 32
     if _os.environ.get("TD_ROI_CHUNK"):
         chunk_k = int(_os.environ["TD_ROI_CHUNK"])
@@ -702,12 +724,10 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
         need_large = jnp.zeros((B, N), bool)
         out = None
         if _os.environ.get("TD_ROI_RESIDENT", "1") != "0":
-            # VMEM-resident pooling needs image-relative patch rows (each
-            # image's sections are separate resident buffers)
-            meta_rel = jnp.stack([levels, oy, ox_al],
-                                 axis=1).astype(jnp.int32)
-            out = _launch_resident_kernel(kpadded, meta_rel, ay_f, ax_f,
-                                          resolution, B, force_interpret)
+            out = _launch_resident_kernel(kpadded, levels, oy, ox_al, sy,
+                                          sx_al, valid_y, valid_x,
+                                          resolution, sampling_ratio, B,
+                                          force_interpret)
         if out is None:
             out = _launch_patch_kernel(kpadded, meta, ay_f, ax_f, resolution,
                                        force_interpret)
