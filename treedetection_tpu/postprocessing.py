@@ -271,6 +271,44 @@ def _areas_centroids_host(coords: np.ndarray
     return areas.astype(np.float32), centroids
 
 
+def _ragged_ring_stats(rings: List[np.ndarray]
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shoelace areas, vertex centroids, and bboxes of OPEN rings, computed
+    ragged (``np.*.reduceat`` over the concatenated points).
+
+    Same math as ``_areas_centroids_host`` + ``PolygonSet.bounds`` but ~100x
+    cheaper at county crown counts: the padded (N, 128, 2) route streams
+    ~15 full passes over mostly-NaN padding (measured 2.1 s for 35k rings on
+    the 1-core host), the ragged route touches each real vertex once
+    (~10 ms).  Centroid = plain vertex mean (reference
+    ``utilities.py:163-180``; the padded host path also mixed in the closing
+    vertex once — the device twin ``polygon_centroids_batch`` never did).
+    """
+    n = len(rings)
+    lens = np.fromiter((len(r) for r in rings), np.int64, n)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    flat = np.concatenate(rings, axis=0).astype(np.float64)
+    x, y = flat[:, 0], flat[:, 1]
+    nx = np.empty_like(x)
+    ny = np.empty_like(y)
+    nx[:-1] = x[1:]
+    ny[:-1] = y[1:]
+    ends = starts + lens - 1
+    nx[ends] = x[starts]
+    ny[ends] = y[starts]
+    term = x * ny - nx * y
+    areas = np.abs(np.add.reduceat(term, starts)) / 2.0
+    cx = np.add.reduceat(x, starts) / lens
+    cy = np.add.reduceat(y, starts) / lens
+    bounds = np.stack([np.minimum.reduceat(x, starts),
+                       np.minimum.reduceat(y, starts),
+                       np.maximum.reduceat(x, starts),
+                       np.maximum.reduceat(y, starts)], axis=1)
+    return (areas.astype(np.float32), np.stack([cx, cy], axis=1),
+            bounds.astype(np.float32))
+
+
 def _greedy_group_keep(pairs_i: np.ndarray, pairs_j: np.ndarray,
                        scores: np.ndarray, n: int) -> np.ndarray:
     """Greedy group-keep over a sparse relation: visiting rows in index order,
@@ -474,23 +512,11 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
         [c.min(axis=0) for c in crowns], dtype=np.float64), axis=0))
     local = [c - offset for c in crowns]
     n_all = len(crowns)
-    # bucket the ring-point device dim so the jitted stat programs compile
-    # once and serve every file of a county run instead of recompiling per
-    # P shape (the polygon-count dim is bucketed separately on the stats
-    # subset below; areas/centroids run on host).  The ring-point bucket is
-    # coarse (128): with a 16-point bucket a single long crown flips the
-    # program shape between runs/files, and each fresh shape costs a
-    # multi-second compile through the device tunnel (measured: warm call
-    # 0.2 s, fresh-shape compile 3-10 s).
-    max_pts = _bucket(max(len(c) for c in crowns) + 1, 128)
-    ps = PolygonSet.from_list(local, max_points=max_pts, dtype=np.float32)
-    coords = ps.coords
-    # areas/centroids are trivial FLOP on ~20k rings: host numpy beats a
-    # device round trip whose cost is the coords upload (same math as
-    # ops.stats.polygon_areas_batch / polygon_centroids_batch)
-    areas, centroids = _areas_centroids_host(coords)
+    # areas/centroids/bboxes are trivial FLOP on ~20k rings: ragged host
+    # numpy touches each vertex once (the padded device coords are built
+    # LATER, for the post-dedupe stats survivors only)
+    areas, centroids, bounds = _ragged_ring_stats(local)
     centroids = centroids + offset[None, :]
-    bounds = ps.bounds()
     _t = _phase("areas_centroids", _t)
 
     area_lo = float(config.get("area_threshold", 1))
@@ -520,8 +546,16 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
     if len(sub) and (height_raster is not None or ndvi_raster is not None):
         import time as _time
         sb = _bucket(len(sub))
+        sub_local = [local[i] for i in sub]
+        # ring-point device dim bucketed COARSE (128): with a 16-point
+        # bucket a single long crown flips the jitted stat program's shape
+        # between runs/files, and each fresh shape costs a multi-second
+        # compile through the device tunnel (warm call 0.2 s, fresh-shape
+        # compile 3-10 s)
+        max_pts = _bucket(max(len(c) for c in sub_local) + 1, 128)
         sub_coords = np.full((sb, max_pts, 2), np.nan, dtype=np.float32)
-        sub_coords[:len(sub)] = coords[sub]
+        sub_coords[:len(sub)] = PolygonSet.from_list(
+            sub_local, max_points=max_pts, dtype=np.float32).coords
         with _DEVICE_GATE:
             _tu = _time.time()
             sub_j = jnp.asarray(sub_coords)
