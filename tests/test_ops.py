@@ -575,8 +575,8 @@ class TestPatchROIAlign:
         assert np.asarray(n_over).tolist() == [4, 0]
 
     def test_batched_overlay_disabled_matches_gather(self, monkeypatch):
-        """The production DEFAULT path (all-48, VMEM-resident kernel)
-        matches the gather oracle."""
+        """The production DEFAULT path (all-48 patch-DMA kernel + exact
+        tail) matches the gather oracle."""
         from treedetection_tpu.ops.roi_align import (
             multilevel_roi_align_batched, multilevel_roi_align_gather)
         monkeypatch.setenv("TD_ROI_SMALL", "0")
@@ -593,14 +593,15 @@ class TestPatchROIAlign:
                 fm, boxes[b], 7, (4, 8, 16, 32)))
             assert np.allclose(np.asarray(fast[b]), ref, atol=2e-5)
 
-    @pytest.mark.parametrize("mode", ("split", "patch_dma"))
+    @pytest.mark.parametrize("mode", ("whole", "split"))
     def test_batched_resident_variants_match_gather(self, monkeypatch, mode):
-        """The resident kernel under a forced C-split, and the patch-DMA
-        fallback (TD_ROI_RESIDENT=0), both match the gather oracle on the
-        all-48 path."""
+        """The opt-in VMEM-resident kernel (TD_ROI_RESIDENT=1), whole-C and
+        under a forced C-split, matches the gather oracle on the all-48
+        path."""
         from treedetection_tpu.ops.roi_align import (
             multilevel_roi_align_batched, multilevel_roi_align_gather)
         monkeypatch.setenv("TD_ROI_SMALL", "0")
+        monkeypatch.setenv("TD_ROI_RESIDENT", "1")
         if mode == "split":
             # budget below the whole-C footprint but above the C/2 one ->
             # the c_split=2 grid path runs
@@ -611,8 +612,6 @@ class TestPatchROIAlign:
             # below full-C + margin, above half-C + margin -> c_split=2
             monkeypatch.setenv("TD_ROI_VMEM_MB",
                                str((full * 0.75 + (32 << 20)) / (1 << 20)))
-        else:
-            monkeypatch.setenv("TD_ROI_RESIDENT", "0")
         fmaps1 = self._fmaps(seed=37)
         fmaps2 = self._fmaps(seed=38)
         fmaps = [jnp.stack([a, b]) for a, b in zip(fmaps1, fmaps2)]

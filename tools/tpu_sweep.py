@@ -312,7 +312,10 @@ def main(phases) -> int:
             c = scfg
             x = jax.vmap(lambda im: resize_bilinear(
                 im.astype(jnp.float32), size, size))(t)
-            x = normalize_bgr(x)
+            # the example checkpoint is trained on std-normalized inputs
+            # (train.data); serving passes pixel_std via config.yml — the
+            # raw-normalize variant produces ZERO detections here
+            x = normalize_bgr(x, pixel_std=(57.375, 57.12, 58.395))
             feats = smodel.apply(p, x, method=lambda self, im: self.backbone(
                 im.astype(c.dtype)))
             logits, deltas = smodel.apply(
@@ -413,6 +416,9 @@ def main(phases) -> int:
                                   "TD_ROI_EXACT_FRAC": "0.625"}),
             ("all48_E15", {"TD_ROI_SMALL": "0",
                            "TD_ROI_EXACT_FRAC": "0.15"}),
+            ("all48_E15_patchdma", {"TD_ROI_SMALL": "0",
+                                    "TD_ROI_EXACT_FRAC": "0.15",
+                                    "TD_ROI_RESIDENT": "0"}),
             ("puregather", {"TD_PALLAS_ROIALIGN": "0"}),
         ]
         results = {}
@@ -482,7 +488,8 @@ def main(phases) -> int:
             def _f(p, t):
                 x = jax.vmap(lambda im: resize_bilinear(
                     im.astype(jnp.float32), size, size))(t)
-                out = smodel.apply(p, normalize_bgr(x))
+                out = smodel.apply(p, normalize_bgr(
+                    x, pixel_std=(57.375, 57.12, 58.395)))
                 return out.boxes, out.scores, out.valid, out.roi_overflow
 
             r = jax.device_get(_f(sparams, tiles_r))

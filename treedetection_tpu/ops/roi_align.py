@@ -723,7 +723,13 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
     else:
         need_large = jnp.zeros((B, N), bool)
         out = None
-        if _os.environ.get("TD_ROI_RESIDENT", "1") != "0":
+        # Default OFF: measured SLOWER than the patch-DMA kernel at
+        # production geometry (74.0 vs 60.8 ms box pool, 42.1 vs 38.1 mask —
+        # tools/tpu_sweep_results.jsonl 'roi3' 10:18): per-box scalar-loop
+        # overhead dominates both kernels, the patch DMA was already fully
+        # hidden by its in-flight pipeline, and the c_split=2 grid doubles
+        # the per-box loop.  Kept as an opt-in for future tuning.
+        if _os.environ.get("TD_ROI_RESIDENT", "0") == "1":
             out = _launch_resident_kernel(kpadded, levels, oy, ox_al, sy,
                                           sx_al, valid_y, valid_x,
                                           resolution, sampling_ratio, B,
