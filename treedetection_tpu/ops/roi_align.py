@@ -220,7 +220,13 @@ SMALL_PATCH_BOX = 0      # resolution <= 8 (7x7 box pool)
 SMALL_PATCH_MASK = 0     # resolution > 8 (14x14 mask pool)
 LARGE_FRAC_BOX = 0.50
 LARGE_FRAC_MASK = 0.25
-EXACT_FRAC_BOX = 0.15
+# Exact-tail budgets sized from the REAL checkpoint's span distribution
+# (tools/tpu_sweep_results.jsonl 'span' 10:32, pixel_std-normalized):
+# proposal spans p50 20.9 / p90 32.0 / max 53.8 — under 1% outspan the
+# 48-patch, so 5% per image is a generous cover (the tail costs ~13 us/box
+# through the XLA gather; 15% burned ~16 ms/batch on boxes that never
+# needed it).  Overflow beyond the budget warns via roi_overflow.
+EXACT_FRAC_BOX = 0.05
 EXACT_FRAC_MASK = 0.08
 
 
