@@ -542,6 +542,20 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
         # same local frame as the polygons (float32-safe magnitudes)
         return Affine(t.a, t.b, t.c - offset[0], t.d, t.e, t.f - offset[1])
 
+    # border/overlap exclusion BEFORE the raster stats: it is independent of
+    # them (bbox-only test), and on an overlap run it drops every crown in
+    # the 135 m border band — ~47% of a 1 km^2 file — which would otherwise
+    # be PIP-sampled for stats and then thrown away.  Same final keep mask
+    # and properties (all gates are ANDed; reference applies it at
+    # postprocessing.py:574-607 after stats, but no gate reads the other's
+    # output).
+    if raster_bounds is not None:
+        rb_local = (raster_bounds[0] - offset[0], raster_bounds[1] - offset[1],
+                    raster_bounds[2] - offset[0], raster_bounds[3] - offset[1])
+        keep &= border_overlap_exclusion(bounds, rb_local, config,
+                                         is_merged_strip)
+    _t = _phase("border_exclusion", _t)
+
     sub = np.where(keep)[0]
     if len(sub) and (height_raster is not None or ndvi_raster is not None):
         import time as _time
@@ -611,13 +625,6 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
                 mean_ndvi[sub] = mn[:len(sub)]
                 var_ndvi[sub] = np.asarray(st.var)[:len(sub)]
     _t = _phase("raster_stats", _t)
-
-    # border/overlap exclusion (same local frame as the polygon bounds)
-    if raster_bounds is not None:
-        rb_local = (raster_bounds[0] - offset[0], raster_bounds[1] - offset[1],
-                    raster_bounds[2] - offset[0], raster_bounds[3] - offset[1])
-        keep &= border_overlap_exclusion(bounds, rb_local, config,
-                                         is_merged_strip)
 
     # height gate (-1 = no data passes; reference postprocessing.py:609-610)
     h_thr = float(config.get("height_threshold", 3))
