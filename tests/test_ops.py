@@ -655,3 +655,92 @@ class TestFusedRasterStats:
             for g, w in zip(got, want):
                 np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                            rtol=1e-6, atol=1e-6)
+
+    def _random_polys(self, n=24, seed=7, lo=5, hi=95, rmax=12):
+        rng = np.random.default_rng(seed)
+        polys = np.full((n, 14, 2), np.nan, dtype=np.float32)
+        rings = []
+        for i in range(n):
+            k = int(rng.integers(3, 12))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            r = rng.uniform(2, rmax)
+            cx, cy = rng.uniform(lo, hi, 2)
+            ring = np.stack([cx + r * np.cos(ang),
+                             cy + r * np.sin(ang)], axis=1)
+            polys[i, :k] = ring
+            # f32-rounded so host-twin (f64) and device (f32) PIP tests see
+            # identical vertex coords — borderline samples must agree
+            rings.append(polys[i, :k].astype(np.float64))
+        return polys, rings
+
+    @pytest.mark.parametrize("compat", (False, True))
+    def test_patch_path_matches_gather_path(self, compat):
+        """The patch-path stats ops (per-polygon raster windows + hat
+        contractions, no scattered gathers) == the gather-path ops for
+        axis-aligned affines, incl. raster-edge clamping, out-of-raster
+        NaNs, and nodata-NaN cells."""
+        from treedetection_tpu.ops.stats import (
+            polygon_raster_stats_batch, polygon_raster_stats_batch_patch,
+            polygon_raster_stats_two, polygon_raster_stats_two_patch)
+        rng = np.random.default_rng(11)
+        # polys near the raster edges too (lo=2) -> border clamping active
+        polys, _ = self._random_polys(seed=11, lo=2, hi=98)
+        ra = rng.standard_normal((100, 100)).astype(np.float32)
+        ra[40:43, 60:70] = np.nan                     # nodata hole
+        rb = rng.standard_normal((20, 20)).astype(np.float32)
+        aff_a = np.array([1.0, 0, 0, 0, -1.0, 100.0], dtype=np.float32)
+        aff_b = np.array([5.0, 0, 0, 0, -5.0, 100.0], dtype=np.float32)
+        pj = jnp.asarray(polys)
+        pa, pb = jnp.asarray(ra), jnp.asarray(rb)
+        aa, ab = jnp.asarray(aff_a), jnp.asarray(aff_b)
+        def check(got_s, want_s):
+            # argmax_xy may pick a different of two float-tied max samples
+            # (the hat contraction sums in a different order than the 4-tap
+            # formula); every VALUE stat must match
+            for name in ("max", "min", "mean", "var", "count"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(got_s, name)),
+                    np.asarray(getattr(want_s, name)),
+                    rtol=1e-4, atol=1e-4, err_msg=name)
+            same = np.isclose(np.asarray(got_s.argmax_xy),
+                              np.asarray(want_s.argmax_xy),
+                              rtol=1e-4, atol=1e-4).all(axis=1)
+            assert same.mean() >= 0.85, "argmax flipped beyond float ties"
+
+        want = polygon_raster_stats_batch(pj, pa, aa, compat_circle=compat)
+        got = polygon_raster_stats_batch_patch(pj, pa, aa, patch=48,
+                                               compat_circle=compat)
+        check(got, want)
+        wa, wb = polygon_raster_stats_two(pj, pa, aa, pb, ab,
+                                          compat_circle=compat)
+        ga, gb = polygon_raster_stats_two_patch(pj, pa, aa, pb, ab,
+                                                patch_a=48, patch_b=20,
+                                                compat_circle=compat)
+        check(ga, wa)
+        check(gb, wb)
+
+    def test_host_twin_matches_device_op(self):
+        """_host_polygon_raster_stats (the over-span fallback) == the
+        device gather op, per polygon."""
+        from treedetection_tpu.ops.stats import polygon_raster_stats_batch
+        from treedetection_tpu.postprocessing import (
+            _host_polygon_raster_stats)
+        from treedetection_tpu.geo import Affine
+        rng = np.random.default_rng(13)
+        polys, rings = self._random_polys(seed=13, lo=2, hi=98)
+        ra = rng.standard_normal((100, 100)).astype(np.float32)
+        aff = np.array([1.0, 0, 0, 0, -1.0, 100.0], dtype=np.float32)
+        want = polygon_raster_stats_batch(
+            jnp.asarray(polys), jnp.asarray(ra), jnp.asarray(aff))
+        affine = Affine(1.0, 0, 0, 0, -1.0, 100.0)
+        for i, ring in enumerate(rings):
+            mx, mean, var, am, cnt = _host_polygon_raster_stats(
+                ring, ra, affine)
+            assert cnt == int(np.asarray(want.count)[i])
+            np.testing.assert_allclose(mx, float(np.asarray(want.max)[i]),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(mean,
+                                       float(np.asarray(want.mean)[i]),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(var, float(np.asarray(want.var)[i]),
+                                       rtol=1e-4, atol=1e-5)

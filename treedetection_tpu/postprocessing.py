@@ -33,7 +33,9 @@ import jax.numpy as jnp
 from treedetection_tpu.geo import Affine, GeoTiff
 from treedetection_tpu.ops.boxes import box_iou_matrix, pairwise_intersection_over_area
 from treedetection_tpu.ops.stats import (polygon_raster_stats_batch,
-                                         polygon_raster_stats_two)
+                                         polygon_raster_stats_batch_patch,
+                                         polygon_raster_stats_two,
+                                         polygon_raster_stats_two_patch)
 from treedetection_tpu.recoveries import (
     load_postprocess_recovery_data, postprocess_params,
     save_postprocess_recovery_data)
@@ -269,6 +271,90 @@ def _areas_centroids_host(coords: np.ndarray
         centroids = np.stack([np.nanmean(c[..., 0], axis=1),
                               np.nanmean(c[..., 1], axis=1)], axis=-1)
     return areas.astype(np.float32), centroids
+
+
+def _stats_patch_plan(spans_xy: np.ndarray, affine: Affine,
+                      raster_shape: Tuple[int, int]
+                      ) -> Tuple[int, np.ndarray]:
+    """Pick the device patch size for the patch-path stats op and flag which
+    polygons fit it.  ``spans_xy``: (K, 2) local-frame bbox spans in meters.
+    A patch that spans the whole raster axis serves ANY span on that axis
+    (the window origin clamps to 0)."""
+    h, w = raster_shape
+    sx = spans_xy[:, 0] / max(abs(affine.a), 1e-9)
+    sy = spans_xy[:, 1] / max(abs(affine.e), 1e-9)
+    need = float(np.max(np.maximum(sx, sy))) + 4.0 if len(sx) else 8.0
+    patch = 256
+    for p in (32, 64, 128, 256):
+        if p >= need:
+            patch = p
+            break
+    patch = min(patch, max(h, 1), max(w, 1))
+    fits = (((sx + 4.0 <= patch) | (patch >= w))
+            & ((sy + 4.0 <= patch) | (patch >= h)))
+    return patch, fits
+
+
+def _host_polygon_raster_stats(poly: np.ndarray, raster: np.ndarray,
+                               affine: Affine, grid: int = 32,
+                               compat_circle: bool = False
+                               ) -> Tuple[float, float, float,
+                                          np.ndarray, float]:
+    """numpy twin of ``ops.stats.polygon_raster_stats_batch`` for ONE open
+    ring — serves the rare polygons whose pixel span outsizes every device
+    patch (same grid, PIP, bilinear convention, and empty-count sentinels).
+    -> (max, mean, var, argmax_xy, count)."""
+    # f32 arithmetic THROUGHOUT, mirroring the device op — borderline
+    # inside/outside decisions must agree between the paths
+    p = poly[np.isfinite(poly[:, 0])].astype(np.float32)
+    minxy, maxxy = p.min(axis=0), p.max(axis=0)
+    span = np.maximum(maxxy - minxy, np.float32(1e-6))
+    t = ((np.arange(grid, dtype=np.float32) + np.float32(0.5))
+         / np.float32(grid))
+    gx = minxy[0] + t * span[0]
+    gy = minxy[1] + t * span[1]
+    px = np.broadcast_to(gx[None, :], (grid, grid)).ravel()
+    py = np.broadcast_to(gy[:, None], (grid, grid)).ravel()
+    if compat_circle:
+        center = (minxy + maxxy) / 2.0
+        r2 = np.max(((p - center) ** 2).sum(axis=1))
+        inside = ((px - center[0]) ** 2 + (py - center[1]) ** 2) <= r2
+    else:
+        x1, y1 = p[:, 0], p[:, 1]
+        x2 = np.roll(x1, -1)
+        y2 = np.roll(y1, -1)
+        cond = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+        with np.errstate(all="ignore"):
+            xint = x1[None, :] + (py[:, None] - y1[None, :]) \
+                * ((x2 - x1) / (y2 - y1))[None, :]
+            cross = np.sum(cond & (px[:, None] < xint), axis=1)
+        inside = (cross % 2) == 1
+    a, c, e, f = (np.float32(affine.a), np.float32(affine.c),
+                  np.float32(affine.e), np.float32(affine.f))
+    ci = (px - c) / a - np.float32(0.5)
+    ri = (py - f) / e - np.float32(0.5)
+    h, w = raster.shape
+    in_r = (ci >= -0.5) & (ci <= w - 0.5) & (ri >= -0.5) & (ri <= h - 0.5)
+    c0 = np.clip(np.floor(ci).astype(np.int64), 0, w - 1)
+    r0 = np.clip(np.floor(ri).astype(np.int64), 0, h - 1)
+    c1 = np.minimum(c0 + 1, w - 1)
+    r1 = np.minimum(r0 + 1, h - 1)
+    lc = np.clip(ci - c0, 0.0, 1.0)
+    lr = np.clip(ri - r0, 0.0, 1.0)
+    v = (raster[r0, c0] * (1 - lr) * (1 - lc)
+         + raster[r0, c1] * (1 - lr) * lc
+         + raster[r1, c0] * lr * (1 - lc) + raster[r1, c1] * lr * lc)
+    v = np.where(in_r, v, np.nan)
+    ok = inside & np.isfinite(v)
+    count = int(ok.sum())
+    if count == 0:
+        return -1.0, -1.0, -1.0, np.array([px[0], py[0]]), 0.0
+    vals = v[ok]
+    mean = float(vals.mean())
+    var = float(((vals - mean) ** 2).mean())
+    neg = np.where(ok, v, -np.inf)
+    am = int(np.argmax(neg))
+    return float(vals.max()), mean, var, np.array([px[am], py[am]]), count
 
 
 def _ragged_ring_stats(rings: List[np.ndarray]
@@ -558,72 +644,132 @@ def process_crowns(crowns: List[np.ndarray], scores: np.ndarray,
 
     sub = np.where(keep)[0]
     if len(sub) and (height_raster is not None or ndvi_raster is not None):
+        import os as _os
         import time as _time
-        sb = _bucket(len(sub))
-        sub_local = [local[i] for i in sub]
-        # ring-point device dim bucketed COARSE (128): with a 16-point
-        # bucket a single long crown flips the jitted stat program's shape
-        # between runs/files, and each fresh shape costs a multi-second
-        # compile through the device tunnel (warm call 0.2 s, fresh-shape
-        # compile 3-10 s)
-        max_pts = _bucket(max(len(c) for c in sub_local) + 1, 128)
-        sub_coords = np.full((sb, max_pts, 2), np.nan, dtype=np.float32)
-        sub_coords[:len(sub)] = PolygonSet.from_list(
-            sub_local, max_points=max_pts, dtype=np.float32).coords
-        with _DEVICE_GATE:
-            _tu = _time.time()
-            sub_j = jnp.asarray(sub_coords)
-            hr_j = (jnp.asarray(height_raster, dtype=jnp.float32)
-                    if height_raster is not None else None)
-            nr_j = (jnp.asarray(ndvi_raster, dtype=jnp.float32)
-                    if ndvi_raster is not None else None)
-            if hr_j is not None:
-                jax.block_until_ready(hr_j)
-            _phase("stats_upload", _tu)
-            if hr_j is not None and nr_j is not None:
-                # fused two-raster program: the sample grid + PIP test (the
-                # dominant compute) are shared and the host pays ONE
-                # dispatch+fetch round trip (reference fused path
-                # postprocessing.py:549-554, generalized to distinct grids)
-                _tc = _time.time()
-                st_h, st_n = polygon_raster_stats_two(
-                    sub_j, hr_j,
-                    jnp.asarray(list(_local_affine(height_affine)),
-                                dtype=jnp.float32),
-                    nr_j,
-                    jnp.asarray(list(_local_affine(ndvi_affine)),
-                                dtype=jnp.float32),
+        # Routing: the PATCH-path stats op (per-polygon raster windows + hat
+        # -matrix contractions) for axis-aligned affines and polygons whose
+        # pixel span fits the chosen window — the gather-path op's 4-tap
+        # scattered reads measured ~6 s per county file on TPU, the patch
+        # path is milliseconds.  Over-span polygons (rare giants) go through
+        # the exact numpy twin; non-axis-aligned affines keep the gather op.
+        la_h = (_local_affine(height_affine)
+                if height_raster is not None else None)
+        la_n = (_local_affine(ndvi_affine)
+                if ndvi_raster is not None else None)
+        aligned = all(t is None or (t.b == 0.0 and t.d == 0.0)
+                      for t in (la_h, la_n))
+        use_patch = aligned and _os.environ.get("TD_STATS_PATCH", "1") != "0"
+        spans_xy = np.stack([bounds[sub, 2] - bounds[sub, 0],
+                             bounds[sub, 3] - bounds[sub, 1]], axis=1)
+        patch_h = patch_n = 64
+        fits = np.ones(len(sub), bool)
+        if use_patch:
+            if height_raster is not None:
+                patch_h, fh = _stats_patch_plan(spans_xy, la_h,
+                                                height_raster.shape)
+                fits &= fh
+            if ndvi_raster is not None:
+                patch_n, fn = _stats_patch_plan(spans_xy, la_n,
+                                                ndvi_raster.shape)
+                fits &= fn
+            dev = sub[fits]
+            host_out = sub[~fits]
+        else:
+            dev, host_out = sub, sub[:0]
+        if len(dev):
+            sb = _bucket(len(dev))
+            dev_local = [local[i] for i in dev]
+            # ring-point device dim bucketed COARSE (128): a fresh shape
+            # costs a multi-second compile through the device tunnel
+            max_pts = _bucket(max(len(c) for c in dev_local) + 1, 128)
+            dev_coords = np.full((sb, max_pts, 2), np.nan, dtype=np.float32)
+            dev_coords[:len(dev)] = PolygonSet.from_list(
+                dev_local, max_points=max_pts, dtype=np.float32).coords
+            with _DEVICE_GATE:
+                _tu = _time.time()
+                sub_j = jnp.asarray(dev_coords)
+                hr_j = (jnp.asarray(height_raster, dtype=jnp.float32)
+                        if height_raster is not None else None)
+                nr_j = (jnp.asarray(ndvi_raster, dtype=jnp.float32)
+                        if ndvi_raster is not None else None)
+                if hr_j is not None:
+                    jax.block_until_ready(hr_j)
+                _phase("stats_upload", _tu)
+                if hr_j is not None and nr_j is not None:
+                    # fused two-raster program: sample grid + PIP shared,
+                    # ONE dispatch+fetch round trip (reference fused path
+                    # postprocessing.py:549-554, generalized to distinct
+                    # grids)
+                    _tc = _time.time()
+                    if use_patch:
+                        st_h, st_n = polygon_raster_stats_two_patch(
+                            sub_j, hr_j,
+                            jnp.asarray(list(la_h), dtype=jnp.float32),
+                            nr_j,
+                            jnp.asarray(list(la_n), dtype=jnp.float32),
+                            patch_a=patch_h, patch_b=patch_n,
+                            compat_circle=compat_circle)
+                    else:
+                        st_h, st_n = polygon_raster_stats_two(
+                            sub_j, hr_j,
+                            jnp.asarray(list(la_h), dtype=jnp.float32),
+                            nr_j,
+                            jnp.asarray(list(la_n), dtype=jnp.float32),
+                            compat_circle=compat_circle)
+                    mx = np.asarray(st_h.max)
+                    _phase("stats_fused_call", _tc)
+                    heights[dev] = mx[:len(dev)]
+                    argmax_xy[dev] = np.asarray(st_h.argmax_xy)[:len(dev)] \
+                        + offset[None, :]
+                    mean_ndvi[dev] = np.asarray(st_n.mean)[:len(dev)]
+                    var_ndvi[dev] = np.asarray(st_n.var)[:len(dev)]
+                elif hr_j is not None:
+                    _tc = _time.time()
+                    if use_patch:
+                        st = polygon_raster_stats_batch_patch(
+                            sub_j, hr_j,
+                            jnp.asarray(list(la_h), dtype=jnp.float32),
+                            patch=patch_h, compat_circle=compat_circle)
+                    else:
+                        st = polygon_raster_stats_batch(
+                            sub_j, hr_j,
+                            jnp.asarray(list(la_h), dtype=jnp.float32),
+                            compat_circle=compat_circle)
+                    mx = np.asarray(st.max)
+                    _phase("stats_height_call", _tc)
+                    heights[dev] = mx[:len(dev)]
+                    argmax_xy[dev] = np.asarray(st.argmax_xy)[:len(dev)] \
+                        + offset[None, :]
+                else:
+                    _tc = _time.time()
+                    if use_patch:
+                        st = polygon_raster_stats_batch_patch(
+                            sub_j, nr_j,
+                            jnp.asarray(list(la_n), dtype=jnp.float32),
+                            patch=patch_n, compat_circle=compat_circle)
+                    else:
+                        st = polygon_raster_stats_batch(
+                            sub_j, nr_j,
+                            jnp.asarray(list(la_n), dtype=jnp.float32),
+                            compat_circle=compat_circle)
+                    mn = np.asarray(st.mean)
+                    _phase("stats_ndvi_call", _tc)
+                    mean_ndvi[dev] = mn[:len(dev)]
+                    var_ndvi[dev] = np.asarray(st.var)[:len(dev)]
+        for i in host_out:
+            if height_raster is not None:
+                h_mx, _, _, am, cnt = _host_polygon_raster_stats(
+                    local[i], height_raster, la_h,
                     compat_circle=compat_circle)
-                mx = np.asarray(st_h.max)
-                _phase("stats_fused_call", _tc)
-                heights[sub] = mx[:len(sub)]
-                argmax_xy[sub] = np.asarray(st_h.argmax_xy)[:len(sub)] \
-                    + offset[None, :]
-                mean_ndvi[sub] = np.asarray(st_n.mean)[:len(sub)]
-                var_ndvi[sub] = np.asarray(st_n.var)[:len(sub)]
-            elif hr_j is not None:
-                _tc = _time.time()
-                st = polygon_raster_stats_batch(
-                    sub_j, hr_j,
-                    jnp.asarray(list(_local_affine(height_affine)),
-                                dtype=jnp.float32),
+                heights[i] = h_mx
+                if cnt:
+                    argmax_xy[i] = am + offset
+            if ndvi_raster is not None:
+                _, n_mean, n_var, _, _ = _host_polygon_raster_stats(
+                    local[i], ndvi_raster, la_n,
                     compat_circle=compat_circle)
-                mx = np.asarray(st.max)
-                _phase("stats_height_call", _tc)
-                heights[sub] = mx[:len(sub)]
-                argmax_xy[sub] = np.asarray(st.argmax_xy)[:len(sub)] \
-                    + offset[None, :]
-            elif nr_j is not None:
-                _tc = _time.time()
-                st = polygon_raster_stats_batch(
-                    sub_j, nr_j,
-                    jnp.asarray(list(_local_affine(ndvi_affine)),
-                                dtype=jnp.float32),
-                    compat_circle=compat_circle)
-                mn = np.asarray(st.mean)
-                _phase("stats_ndvi_call", _tc)
-                mean_ndvi[sub] = mn[:len(sub)]
-                var_ndvi[sub] = np.asarray(st.var)[:len(sub)]
+                mean_ndvi[i] = n_mean
+                var_ndvi[i] = n_var
     _t = _phase("raster_stats", _t)
 
     # height gate (-1 = no data passes; reference postprocessing.py:609-610)
