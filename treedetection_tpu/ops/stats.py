@@ -183,23 +183,22 @@ def _separable_sample_coords(polys: jnp.ndarray, affine: jnp.ndarray,
     return cix, riy
 
 
-def _patch_vals(raster: jnp.ndarray, cix: jnp.ndarray, riy: jnp.ndarray,
-                patch: int, chunk: int = 256) -> jnp.ndarray:
-    """Bilinear-sample the separable (riy x cix) grid through per-polygon
-    (patch, patch) raster windows + two hat-matrix contractions — NO
-    scattered gathers (the XLA gather lowering of 4 taps x N x G^2 samples
-    measured ~6 s per county file on TPU; this path is ~milliseconds).
+def _patch_prep(raster: jnp.ndarray, cix: jnp.ndarray, riy: jnp.ndarray,
+                patch: int):
+    """Per-polygon patch-pooling geometry for the separable sample grid:
+    in-raster sample mask (N, G*G), clamped window origins (N,), and the
+    row/col hat matrices (N, G, patch) that evaluate the bilinear samples
+    as two matmuls against the (patch, patch) window.
 
     Exact vs :func:`bilinear_sample_raster` for every sample whose clipped
     pixel coord lies within its polygon's window (callers route wider
-    polygons through the gather path); out-of-raster samples are NaN, edge
-    samples clamp to the border pixel, both identical to the gather path.
-    -> (N, G*G) vals ordered [row-major iy, ix] like the ``pts`` grid.
-    """
+    polygons through the gather path); out-of-raster samples are masked,
+    edge samples clamp to the border pixel, both identical to the gather
+    path."""
     h, w = raster.shape
     n, g = cix.shape
-    inside = ((cix[:, None, :] >= -0.5) & (cix[:, None, :] <= w - 0.5)
-              & (riy[:, :, None] >= -0.5) & (riy[:, :, None] <= h - 0.5))
+    inr = ((cix[:, None, :] >= -0.5) & (cix[:, None, :] <= w - 0.5)
+           & (riy[:, :, None] >= -0.5) & (riy[:, :, None] <= h - 0.5))
     # clamped coords reproduce the gather path's border-pixel duplication
     cc = jnp.clip(cix, 0.0, w - 1.0)
     rr = jnp.clip(riy, 0.0, h - 1.0)
@@ -212,40 +211,72 @@ def _patch_vals(raster: jnp.ndarray, cix: jnp.ndarray, riy: jnp.ndarray,
     cols = jnp.arange(patch, dtype=cc.dtype)
     hat_c = jnp.maximum(0.0, 1.0 - jnp.abs(relc[..., None] - cols))
     hat_r = jnp.maximum(0.0, 1.0 - jnp.abs(relr[..., None] - cols))
+    return inr.reshape(n, g * g), oc, orr, hat_r, hat_c
+
+
+def _patch_stats_chunked(polys: jnp.ndarray, rasters, grid: int,
+                         compat_circle: bool, chunk: int = 256):
+    """Patch-path stats core: bilinear sampling via per-polygon raster
+    windows + hat-matrix contractions (NO scattered gathers — the XLA
+    gather lowering of 4 taps x N x G^2 samples measured ~6 s per county
+    file on TPU), with the masked stats reduced INSIDE the chunked
+    ``lax.map``.  Reducing in-loop matters for COMPILE time, not math: the
+    remote AOT compiler re-fuses the map loop into each of the six stat
+    reductions when they consume the raw (N, G*G) map output, exploding a
+    3 s compile to 200+ s (measured; an optimization_barrier does not
+    help).
+
+    ``rasters``: sequence of (raster (H, W), affine (6,), patch int).
+    -> list of PolygonStats, one per raster.
+    """
+    n = polys.shape[0]
+    pts, _ = sample_grid_over_bboxes(polys, grid)
+    inside_poly = _inside_mask(polys, pts, compat_circle)     # (N, M)
+    per = []
+    for raster, affine, patch in rasters:
+        cix, riy = _separable_sample_coords(polys, affine, grid)
+        per.append(_patch_prep(raster, cix, riy, patch))
 
     pad_n = (-n) % chunk
-    if pad_n:
-        oc = jnp.pad(oc, (0, pad_n))
-        orr = jnp.pad(orr, (0, pad_n))
-        hat_c = jnp.pad(hat_c, ((0, pad_n), (0, 0), (0, 0)))
-        hat_r = jnp.pad(hat_r, ((0, pad_n), (0, 0), (0, 0)))
-
-    def chunk_fn(args):
-        o_c, o_r, h_r, h_c = args
-
-        def slice_patch(r0, c0):
-            return jax.lax.dynamic_slice(raster, (r0, c0), (patch, patch))
-        patches = jax.vmap(slice_patch)(o_r, o_c)             # (K, p, p)
-        # NaN (nodata) cells: the gather path NaNs exactly the samples with
-        # a positive-weight NaN tap; a raw matmul would contaminate every
-        # sample of the polygon (0 * NaN = NaN), so contract a NaN-indicator
-        # alongside and re-mark
-        finite = jnp.isfinite(patches)
-        pz = jnp.where(finite, patches, 0.0)
-        t1 = jnp.einsum("kgp,kpq->kgq", h_r, pz)              # rows
-        v = jnp.einsum("kgq,khq->kgh", t1, h_c)               # (K, Gy, Gx)
-        tn = jnp.einsum("kgp,kpq->kgq", h_r,
-                        (~finite).astype(pz.dtype))
-        wn = jnp.einsum("kgq,khq->kgh", tn, h_c)
-        return jnp.where(wn > 0, jnp.nan, v)
-
     k = (n + pad_n) // chunk
-    vals = jax.lax.map(chunk_fn, (oc.reshape(k, chunk),
-                                  orr.reshape(k, chunk),
-                                  hat_r.reshape(k, chunk, g, patch),
-                                  hat_c.reshape(k, chunk, g, patch)))
-    vals = vals.reshape(k * chunk, g, g)[:n]
-    return jnp.where(inside, vals, jnp.nan).reshape(n, g * g)
+
+    def shape_arg(a):
+        if pad_n:
+            widths = [(0, pad_n)] + [(0, 0)] * (a.ndim - 1)
+            a = jnp.pad(a, widths)
+        return a.reshape((k, chunk) + a.shape[1:])
+
+    args = (shape_arg(inside_poly), shape_arg(pts),
+            tuple(tuple(shape_arg(x) for x in p) for p in per))
+
+    def chunk_fn(a):
+        ins_c, pts_c, per_c = a
+        outs = []
+        for pc, (raster, _aff, patch) in zip(per_c, rasters):
+            inr_c, oc_c, orr_c, hr_c, hc_c = pc
+
+            def slice_patch(r0, c0, _ra=raster, _p=patch):
+                return jax.lax.dynamic_slice(_ra, (r0, c0), (_p, _p))
+            p_ = jax.vmap(slice_patch)(orr_c, oc_c)           # (K, p, p)
+            # NaN (nodata) cells: the gather path NaNs exactly the samples
+            # with a positive-weight NaN tap; a raw matmul would
+            # contaminate every sample of the polygon (0 * NaN = NaN), so
+            # contract a NaN-indicator alongside and re-mark
+            finite = jnp.isfinite(p_)
+            pz = jnp.where(finite, p_, 0.0)
+            t1 = jnp.einsum("kgp,kpq->kgq", hr_c, pz)
+            v = jnp.einsum("kgq,khq->kgh", t1, hc_c)          # (K, Gy, Gx)
+            tn = jnp.einsum("kgp,kpq->kgq", hr_c,
+                            (~finite).astype(pz.dtype))
+            wn = jnp.einsum("kgq,khq->kgh", tn, hc_c)
+            vals = jnp.where(wn > 0, jnp.nan, v).reshape(v.shape[0], -1)
+            vals = jnp.where(inr_c, vals, jnp.nan)
+            outs.append(_masked_stats(ins_c, vals, pts_c))
+        return tuple(outs)
+
+    stacked = jax.lax.map(chunk_fn, args)
+    return [PolygonStats(*[x.reshape((k * chunk,) + x.shape[2:])[:n]
+                           for x in st]) for st in stacked]
 
 
 @partial(jax.jit, static_argnames=("grid", "patch", "compat_circle"))
@@ -258,11 +289,8 @@ def polygon_raster_stats_batch_patch(polys: jnp.ndarray, raster: jnp.ndarray,
     AXIS-ALIGNED affines and polygons whose clipped pixel bbox fits a
     (patch, patch) window (the caller routes the rest to the gather path).
     Identical results where those preconditions hold."""
-    pts, _ = sample_grid_over_bboxes(polys, grid)
-    inside = _inside_mask(polys, pts, compat_circle)
-    cix, riy = _separable_sample_coords(polys, affine, grid)
-    vals = _patch_vals(raster, cix, riy, patch)
-    return _masked_stats(inside, vals, pts)
+    return _patch_stats_chunked(polys, [(raster, affine, patch)], grid,
+                                compat_circle)[0]
 
 
 @partial(jax.jit, static_argnames=("grid", "patch_a", "patch_b",
@@ -278,14 +306,9 @@ def polygon_raster_stats_two_patch(polys: jnp.ndarray,
                                    ) -> Tuple[PolygonStats, PolygonStats]:
     """Patch-path twin of :func:`polygon_raster_stats_two` (shared PIP, one
     round trip, per-raster patches/hats)."""
-    pts, _ = sample_grid_over_bboxes(polys, grid)
-    inside = _inside_mask(polys, pts, compat_circle)
-    out = []
-    for raster, affine, patch in ((raster_a, affine_a, patch_a),
-                                  (raster_b, affine_b, patch_b)):
-        cix, riy = _separable_sample_coords(polys, affine, grid)
-        vals = _patch_vals(raster, cix, riy, patch)
-        out.append(_masked_stats(inside, vals, pts))
+    out = _patch_stats_chunked(polys, [(raster_a, affine_a, patch_a),
+                                       (raster_b, affine_b, patch_b)],
+                               grid, compat_circle)
     return out[0], out[1]
 
 
