@@ -499,6 +499,78 @@ class TestTwoModelEndToEnd:
         assert outputs and os.path.exists(outputs[0])
 
 
+class TestBandPredrop:
+    def test_band_predrop_equivalent_to_border_exclusion(self, tmp_path):
+        """The predictor's overlap-band pre-drop (skip mask->polygon work for
+        detections whose BOX is entirely inside the border band) must not
+        change what survives postprocess's exact border_overlap_exclusion:
+        certain drops only, ambiguous band-crossing boxes keep processing."""
+        import json
+        import types
+        from treedetection_tpu.geo import Affine
+        from treedetection_tpu.prediction import Predictor
+        from treedetection_tpu.postprocessing import border_overlap_exclusion
+
+        # disk blob mask (28x28 uint8) -> polygon roughly filling the box
+        mask = np.zeros((28, 28), np.uint8)
+        yy, xx = np.mgrid[:28, :28]
+        mask[((yy - 14) ** 2 + (xx - 14) ** 2) < 144] = 220
+        # raster 1000x1000 m at origin (0, 0); band half-width
+        # (50+40)*3/2 = 135 m.  Tile window at geo (0..100, 900..1000)
+        # (top-left corner of the raster), pixel->geo:
+        tr = Affine(1.0, 0, 0.0, 0, -1.0, 1000.0)
+        item = {"transform": list(tr), "crs": 25832, "tile_id": "t_0_900"}
+        boxes = np.array([
+            # px y 400-450 -> geo y 550-600 (y-interior); x 10-40 is fully
+            # inside the left band -> certain drop
+            [10, 400, 40, 450],
+            [200, 200, 260, 260],  # geo x 200-260, y 740-800: interior
+            # x 120-180 crosses the x=135 band edge (y-interior) -> ambiguous
+            [120, 400, 180, 450],
+        ], dtype=np.float32)
+        scores = np.array([0.9, 0.8, 0.7], dtype=np.float32)
+        masks = np.stack([mask] * 3)
+        valid = np.ones(3, bool)
+        cfg = {"use_overlap": True, "tile_width": 50, "tile_height": 50,
+               "buffer": 20, "overlapping_tiles_width": 3,
+               "overlapping_tiles_height": 3}
+
+        def run(band):
+            ns = types.SimpleNamespace(_stitch_acc=None, logger=None,
+                                       config=cfg, _band_keep=band)
+            out = tmp_path / ("band" if band else "noband")
+            out.mkdir(exist_ok=True)
+            Predictor._write_tile_predictions(
+                ns, item, boxes, scores, masks, valid, (1000, 1000), 1.0,
+                "img.tif", str(out))
+            with open(out / "Prediction_t_0_900.json") as fh:
+                return json.load(fh)
+
+        # band thresholds for raster bounds (0, 0, 1000, 1000), half 135
+        band = (135.0, 135.0, 865.0, 865.0)
+        with_band = run(band)
+        without = run(None)
+        assert len(without) == 3
+        assert len(with_band) == 2          # certain in-band drop skipped
+        kept_scores = {round(e["score"], 2) for e in with_band}
+        assert kept_scores == {0.8, 0.7}    # interior + ambiguous survive
+
+        def survivors(evals):
+            keep = set()
+            for e in evals:
+                poly = np.asarray(e["polygon_coords"][0])
+                b = np.array([[poly[:, 0].min(), poly[:, 1].min(),
+                               poly[:, 0].max(), poly[:, 1].max()]])
+                k = border_overlap_exclusion(b, (0, 0, 1000, 1000), cfg,
+                                             is_merged_strip=False)
+                if k[0]:
+                    keep.add(round(e["score"], 2))
+            return keep
+
+        # the exact exclusion yields the same final set either way
+        assert survivors(with_band) == survivors(without)
+
+
 class TestPredictorCache:
     def test_get_predictor_single_construction_under_race(self, monkeypatch):
         """The async compile-warmup thread and the predict stage race into

@@ -414,11 +414,40 @@ class Predictor:
         self._stitch_acc = ({} if self.config.get("eager_stitch", True)
                             else None)
         src = GeoTiff(tifpath)
+        # Overlap-band PRE-DROP: on an overlap run, postprocess discards
+        # every crown whose polygon lies entirely inside the
+        # (tile+2*buffer)*overlapping_tiles/2 border band of its source
+        # raster (border_overlap_exclusion — the merged seam strips
+        # re-predict that band).  A detection whose BOX is entirely inside
+        # the band is a CERTAIN discard (the polygon is contained in its
+        # box), so skip its mask->polygon work here — ~half the host
+        # polygonization on a 1 km^2 file.  Ambiguous (band-crossing) boxes
+        # keep full processing; the exact polygon-bounds test still runs in
+        # postprocess, so the FINAL output is identical.
+        self._band_keep = None
+        cfg = self.config
+        if cfg.get("use_overlap", True) and cfg.get("band_predrop", True):
+            import re as _re
+            mrx = cfg.get("image_merged_regex")
+            is_strip = bool(mrx and _re.match(mrx, os.path.basename(tifpath)))
+            if not is_strip:
+                b = src.bounds
+                half_w = ((float(cfg.get("tile_width", 50))
+                           + 2 * float(cfg.get("buffer", 20)))
+                          * float(cfg.get("overlapping_tiles_width", 1))
+                          / 2.0)
+                half_h = ((float(cfg.get("tile_height", 50))
+                           + 2 * float(cfg.get("buffer", 20)))
+                          * float(cfg.get("overlapping_tiles_height", 1))
+                          / 2.0)
+                self._band_keep = (b[0] + half_w, b[1] + half_h,
+                                   b[2] - half_w, b[3] - half_h)
         try:
             n = self._predict_image(src, items, tifpath, output_dir)
         finally:
             # any failure in the stream loop must not leak the mmap/handle
             src.close()
+            self._band_keep = None
         if self._stitch_acc is not None:
             from collections import OrderedDict
             cache = self.config.setdefault("_stitch_cache", OrderedDict())
@@ -657,6 +686,16 @@ class Predictor:
             ox, oy = int(math.floor(x0)), int(math.floor(y0))
             if ox >= w or oy >= h:
                 continue
+            band = getattr(self, "_band_keep", None)
+            if band is not None:
+                # certain overlap-band discard (see __call__): box corners
+                # in geo coords; polygon bounds are contained in the box
+                cxs, cys = transform.apply(
+                    np.asarray([x0, x1, x0, x1]),
+                    np.asarray([y0, y0, y1, y1]))
+                if (cxs.max() < band[0] or cxs.min() > band[2]
+                        or cys.max() < band[1] or cys.min() > band[3]):
+                    continue
             # masks arrive uint8 (sigmoid x 255); native fused resize+threshold
             binary = resize_threshold_mask(np.asarray(masks[d]), bh, bw)
             if binary.sum() == 0:
