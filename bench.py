@@ -192,7 +192,11 @@ def main() -> int:
     cfg = MaskRCNNConfig(depth=50 if on_cpu else 101, input_size=size,
                          bf16=not on_cpu,
                          rpn_pre_nms_topk=200 if on_cpu else 1000,
-                         rpn_post_nms_topk=100 if on_cpu else 1000,
+                         # 512 post-NMS proposals beat the d2-default 1000 on
+                         # BOTH axes in the held-out A/B (F1 0.401 vs 0.356,
+                         # precision 0.47 vs 0.34; example/data/eval_report.json)
+                         # and halve the per-box-bound box pool.
+                         rpn_post_nms_topk=100 if on_cpu else 512,
                          max_detections=10 if on_cpu else 100,
                          rpn_approx_topk_from=16384)  # serving-spec default
     print(f"bench: backend={backend} size={size} batch={batch} depth={cfg.depth}",
