@@ -624,6 +624,36 @@ def _launch_resident_kernel(kpadded, levels: jnp.ndarray, oy: jnp.ndarray,
     return out
 
 
+def _launch_patch_kernel_flat(kcat: jnp.ndarray, meta: jnp.ndarray,
+                              ay_f: jnp.ndarray, ax_f: jnp.ndarray,
+                              resolution: int,
+                              force_interpret: bool) -> jnp.ndarray:
+    """Flat-buffer variant of :func:`_launch_patch_kernel`: ``kcat`` is the
+    single level-concatenated buffer and ``meta`` is (N, 2) int32
+    [abs_row, col] — the level/image base is folded into the row, so the
+    kernel's per-box DMA needs no level branching."""
+    from treedetection_tpu.ops.pallas import roi_align_kernel as _rk
+    import os as _os
+    n = meta.shape[0]
+    patch = ay_f.shape[-1]
+    assert ax_f.shape[-1] == patch + 8, (ay_f.shape, ax_f.shape)
+    chunk_k = 128 if resolution <= 8 else 32
+    if _os.environ.get("TD_ROI_CHUNK"):
+        chunk_k = int(_os.environ["TD_ROI_CHUNK"])
+    slots_k = int(_os.environ.get("TD_ROI_SLOTS", "4"))
+    pad_n = (-n) % chunk_k
+    ay_p, ax_p = ay_f, ax_f
+    if pad_n:
+        meta = jnp.pad(meta, ((0, pad_n), (0, 0)))
+        ay_p = jnp.pad(ay_f, ((0, pad_n), (0, 0), (0, 0)))
+        ax_p = jnp.pad(ax_f, ((0, pad_n), (0, 0), (0, 0)))
+    return _rk.roi_pool_patches_flat(
+        kcat, meta[:, 0], meta[:, 1],
+        ay_p.astype(jnp.float32), ax_p.astype(jnp.float32),
+        resolution, patch, chunk_k, interpret=force_interpret,
+        slots=slots_k)[:n]
+
+
 def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
                                  boxes: jnp.ndarray,
                                  resolution: int, strides: Sequence[int],
@@ -705,12 +735,53 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
     # row-concatenated per-level buffers: image b of level l starts at row
     # b * (H_l + PATCH); the PATCH bottom padding keeps every patch slice
     # inside its own image's section
-    kpadded = tuple(
-        jnp.pad(f, ((0, 0), (0, PATCH), (0, cpatch), (0, 0)))
-        .reshape(B * (f.shape[1] + PATCH), f.shape[2] + cpatch, C)
-        for f in fmaps)
     row_base = img * (jnp.asarray(hs + PATCH, dtype=jnp.int32)[levels])
-    meta = jnp.stack([levels, row_base + oy, ox_al], axis=1).astype(jnp.int32)
+    use_flat = _os.environ.get("TD_ROI_FLAT", "1") == "1"
+    use_resident = _os.environ.get("TD_ROI_RESIDENT", "0") == "1"
+    if use_flat and not use_resident:
+        # ONE uniform-width buffer for every (level, image) section: the
+        # level/image base folds into the row coordinate, so the Pallas
+        # per-box DMA needs no level branching (the per-box loop is
+        # scalar-control bound — 8 predicated copy constructions per box
+        # were ~40% of it) and the exact-gather tail indexes the same
+        # buffer without re-flattening.  Width-padding the upper levels to
+        # W_max costs ~40% more HBM for the buffer build (~0.3 ms/batch).
+        wmax = int(ws.max()) + cpatch
+        kcat = jnp.concatenate([
+            jnp.pad(f, ((0, 0), (0, PATCH), (0, wmax - int(f.shape[2])),
+                        (0, 0)))
+            .reshape(B * (int(f.shape[1]) + PATCH), wmax, C)
+            for f in fmaps], axis=0)
+        lvl_base = np.concatenate(
+            [[0], np.cumsum((hs + PATCH) * B)[:-1]])       # section rows
+        abs_row = jnp.asarray(lvl_base, jnp.int32)[levels] + row_base + oy
+        meta = jnp.stack([abs_row, ox_al], axis=1).astype(jnp.int32)
+
+        def launch(m, a1, a2):
+            return _launch_patch_kernel_flat(kcat, m, a1, a2, resolution,
+                                             force_interpret)
+
+        def gather(boxes_g, levels_g, img_g):
+            return _gather_rows_core(
+                kcat.reshape(-1, C), lvl_base * wmax,
+                np.full(L, wmax, dtype=np.int64), hs, ws, boxes_g, levels_g,
+                img_g, resolution, strides, sampling_ratio)
+    else:
+        kpadded = tuple(
+            jnp.pad(f, ((0, 0), (0, PATCH), (0, cpatch), (0, 0)))
+            .reshape(B * (f.shape[1] + PATCH), f.shape[2] + cpatch, C)
+            for f in fmaps)
+        meta = jnp.stack([levels, row_base + oy, ox_al],
+                         axis=1).astype(jnp.int32)
+
+        def launch(m, a1, a2):
+            return _launch_patch_kernel(kpadded, m, a1, a2, resolution,
+                                        force_interpret)
+
+        def gather(boxes_g, levels_g, img_g):
+            return _gather_batched_rows(kpadded, hs, ws, boxes_g, levels_g,
+                                        img_g, resolution, strides,
+                                        sampling_ratio)
 
     # three-class pooling (see the _class_params comment): small patches for
     # everyone, a per-image 48-patch budget for non-fitting boxes, an exact
@@ -723,9 +794,7 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
     if small:
         fits_small = ~((span_y > small - 1) | (span_x > small + 8 - 1))
         need_large = ~fits_small.reshape(B, N) & ~need_exact
-        out = _launch_patch_kernel(kpadded, meta, ay_f[:, :, :small],
-                                   ax_f[:, :, :small + 8], resolution,
-                                   force_interpret)
+        out = launch(meta, ay_f[:, :, :small], ax_f[:, :, :small + 8])
     else:
         need_large = jnp.zeros((B, N), bool)
         out = None
@@ -735,14 +804,13 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
         # overhead dominates both kernels, the patch DMA was already fully
         # hidden by its in-flight pipeline, and the c_split=2 grid doubles
         # the per-box loop.  Kept as an opt-in for future tuning.
-        if _os.environ.get("TD_ROI_RESIDENT", "0") == "1":
+        if use_resident:
             out = _launch_resident_kernel(kpadded, levels, oy, ox_al, sy,
                                           sx_al, valid_y, valid_x,
                                           resolution, sampling_ratio, B,
                                           force_interpret)
         if out is None:
-            out = _launch_patch_kernel(kpadded, meta, ay_f, ax_f, resolution,
-                                       force_interpret)
+            out = launch(meta, ay_f, ax_f)
 
     img_base = jnp.arange(B, dtype=jnp.int32)[:, None] * N
     sel_large = jnp.zeros((n,), bool)
@@ -751,9 +819,7 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
                                       m_large)                  # (B, m_l)
         flat_l = (img_base + idx_l).reshape(-1)
         take_l = (flag_l > 0).reshape(-1)
-        out_l = _launch_patch_kernel(kpadded, meta[flat_l], ay_f[flat_l],
-                                     ax_f[flat_l], resolution,
-                                     force_interpret)
+        out_l = launch(meta[flat_l], ay_f[flat_l], ax_f[flat_l])
         out = out.at[flat_l].set(jnp.where(take_l[:, None, None, None],
                                            out_l.astype(out.dtype),
                                            out[flat_l]))
@@ -768,9 +834,7 @@ def multilevel_roi_align_batched(fmaps: Sequence[jnp.ndarray],
         flag_e, idx_e = jax.lax.top_k(prio, m_exact)            # (B, m_e)
         flat_e = (img_base + idx_e).reshape(-1)
         take_e = (flag_e > 0).reshape(-1)
-        fb = _gather_batched_rows(kpadded, hs, ws, flat_boxes[flat_e],
-                                  levels[flat_e], img[flat_e], resolution,
-                                  strides, sampling_ratio)
+        fb = gather(flat_boxes[flat_e], levels[flat_e], img[flat_e])
         out = out.at[flat_e].set(jnp.where(take_e[:, None, None, None],
                                            fb.astype(out.dtype),
                                            out[flat_e]))
@@ -803,10 +867,27 @@ def _gather_batched_rows(kpadded: Sequence[jnp.ndarray], hs, ws,
     C = kpadded[0].shape[-1]
     cpatch = PATCH + 8
     flat = jnp.concatenate([k.reshape(-1, C) for k in kpadded], axis=0)
-    hps = np.asarray(hs) + PATCH
     wps = np.asarray(ws) + cpatch
     sizes = np.asarray([k.shape[0] * k.shape[1] for k in kpadded])
     bases = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    return _gather_rows_core(flat, bases, wps, hs, ws, boxes, levels, img,
+                             resolution, strides, sampling_ratio)
+
+
+def _gather_rows_core(flat: jnp.ndarray, bases, wps, hs, ws,
+                      boxes: jnp.ndarray, levels: jnp.ndarray,
+                      img: jnp.ndarray, resolution: int,
+                      strides: Sequence[int], sampling_ratio: int
+                      ) -> jnp.ndarray:
+    """Exact gather ROIAlign against a pre-flattened (rows*cols, C) buffer.
+
+    ``bases``: (L,) flat-element base of level l's section; ``wps``: (L,)
+    row pitch in elements.  Serves both the per-level-width layout
+    (:func:`_gather_batched_rows`) and the uniform-width level-concat
+    layout (``TD_ROI_FLAT``), whose base/pitch arrays differ only here.
+    """
+    C = flat.shape[-1]
+    hps = np.asarray(hs) + PATCH
 
     scales = 1.0 / jnp.asarray(strides, dtype=boxes.dtype)
     ys, xs = _sample_grid(boxes, scales[levels], resolution, sampling_ratio)
