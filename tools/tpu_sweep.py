@@ -654,6 +654,196 @@ def main(phases) -> int:
                 out[upto] = f"err:{str(exc)[:120]}"
         record("backbone", out)
 
+    if "convmicro" in phases:
+        # Per-conv MFU microbench: each op is looped IN-PROGRAM via
+        # lax.fori_loop over a shape-preserving carry so the ~31 ms relay
+        # RTT amortizes across LOOPS iterations; per-op ms =
+        # (measured - rtt_floor) / loops.  Identifies which convs of the
+        # production forward underuse the MXU (VERDICT r3 task 4).
+        from jax import lax
+        PEAK = 197e12  # v5e bf16 peak FLOP/s
+        dn = ("NHWC", "HWIO", "NHWC")
+        out = {}
+
+        tiny = jax.device_put(jnp.zeros((8, 128), jnp.float32), dev)
+        rtt_fn = jax.jit(lambda v: (v + 1.0).sum())
+        float(rtt_fn(tiny))
+        rtt_ms, _ = median_ms(lambda: float(rtt_fn(tiny)), n=5)
+        out["rtt_ms"] = round(rtt_ms, 1)
+        print(f"sweep[convmicro]: rtt floor {rtt_ms:.1f}ms", file=sys.stderr)
+
+        def convw(k, cin, cout):
+            return jnp.asarray(
+                0.05 * rng.normal(size=(k, k, cin, cout)), jnp.bfloat16)
+
+        def time_loop(name, x_np, step, flops_per_iter, loops):
+            x0 = jax.device_put(jnp.asarray(x_np, jnp.bfloat16), dev)
+
+            @jax.jit
+            def run(x):
+                return lax.fori_loop(
+                    0, loops, lambda i, v: step(v), x
+                ).astype(jnp.float32).sum()
+
+            try:
+                float(run(x0))  # compile
+                med, _ = median_ms(lambda: float(run(x0)), n=5)
+                per = max((med - rtt_ms) / loops, 1e-3)
+                mfu = flops_per_iter / (per / 1e3) / PEAK
+                out[name] = {"per_iter_ms": round(per, 3),
+                             "mfu_pct": round(100 * mfu, 1), "loops": loops}
+                print(f"sweep[convmicro]: {name:<12} {per:6.3f}ms/op "
+                      f"MFU {100 * mfu:5.1f}%", file=sys.stderr)
+            except Exception as exc:
+                out[name] = f"err:{str(exc)[:120]}"
+
+        def conv_flops(b, hw, cout, k, cin):
+            return 2.0 * b * hw * hw * cout * k * k * cin
+
+        # res2 conv2: 3x3 64->64 @ 256^2 (measured stage ~20% MFU)
+        w = convw(3, 64, 64)
+        time_loop("res2_c2", np.zeros((8, 256, 256, 64), np.float32),
+                  lambda x, _w=w: lax.conv_general_dilated(
+                      x, _w, (1, 1), "SAME", dimension_numbers=dn),
+                  conv_flops(8, 256, 64, 3, 64), 48)
+        # res2 1x1 pair: 64->256 then 256->64 @ 256^2
+        wa, wb = convw(1, 64, 256), convw(1, 256, 64)
+        time_loop("res2_11pair", np.zeros((8, 256, 256, 64), np.float32),
+                  lambda x, _a=wa, _b=wb: lax.conv_general_dilated(
+                      lax.conv_general_dilated(x, _a, (1, 1), "SAME",
+                                               dimension_numbers=dn),
+                      _b, (1, 1), "SAME", dimension_numbers=dn),
+                  conv_flops(8, 256, 256, 1, 64) * 2, 32)
+        # res3 conv2: 3x3 128->128 @ 128^2
+        w = convw(3, 128, 128)
+        time_loop("res3_c2", np.zeros((8, 128, 128, 128), np.float32),
+                  lambda x, _w=w: lax.conv_general_dilated(
+                      x, _w, (1, 1), "SAME", dimension_numbers=dn),
+                  conv_flops(8, 128, 128, 3, 128), 48)
+        # res4 conv2: 3x3 256->256 @ 64^2 (the ~80% MFU reference point)
+        w = convw(3, 256, 256)
+        time_loop("res4_c2", np.zeros((8, 64, 64, 256), np.float32),
+                  lambda x, _w=w: lax.conv_general_dilated(
+                      x, _w, (1, 1), "SAME", dimension_numbers=dn),
+                  conv_flops(8, 64, 256, 3, 256), 48)
+        # FPN output2 / RPN shared conv: 3x3 256->256 @ 256^2 (the single
+        # biggest conv in the model)
+        w = convw(3, 256, 256)
+        time_loop("fpn_out2", np.zeros((8, 256, 256, 256), np.float32),
+                  lambda x, _w=w: lax.conv_general_dilated(
+                      x, _w, (1, 1), "SAME", dimension_numbers=dn),
+                  conv_flops(8, 256, 256, 3, 256), 16)
+        # mask-head conv: 3x3 256->256 on (800, 14, 14, 256) box tiles
+        w = convw(3, 256, 256)
+        time_loop("mask_conv", np.zeros((800, 14, 14, 256), np.float32),
+                  lambda x, _w=w: lax.conv_general_dilated(
+                      x, _w, (1, 1), "SAME", dimension_numbers=dn),
+                  2.0 * 800 * 14 * 14 * 256 * 9 * 256, 32)
+        # same FLOPs, grid layout: 800 tiles as a 25x32 grid of 16-px-pitch
+        # cells (14^2 interior + 1-px zero gap); the gap re-zero multiply is
+        # part of the cost.  Border cells read zeros exactly like SAME
+        # padding does per-box, so outputs match the per-box conv.
+        gap = np.zeros((1, 400, 512, 1), np.float32)
+        for r in range(25):
+            for c in range(32):
+                gap[0, r * 16 + 1:r * 16 + 15, c * 16 + 1:c * 16 + 15, 0] = 1
+        gapm = jax.device_put(jnp.asarray(gap, jnp.bfloat16), dev)
+        w = convw(3, 256, 256)
+        time_loop("mask_grid", np.zeros((1, 400, 512, 256), np.float32),
+                  lambda x, _w=w, _g=gapm: lax.conv_general_dilated(
+                      x, _w, (1, 1), "SAME", dimension_numbers=dn) * _g,
+                  2.0 * 800 * 14 * 14 * 256 * 9 * 256, 32)
+        record("convmicro", out)
+
+    if "prop" in phases:
+        # Proposal-stage sub-costs at production geometry (the bench-detail
+        # delta is ~16 ms/batch): per-level top-k+decode vs NMS vs the full
+        # stage, and the pre_nms_topk sensitivity (1000 vs 512 vs 256).
+        from treedetection_tpu.models.rpn import generate_proposals, nms_mask
+        from treedetection_tpu.models.anchors import pyramid_anchors_jnp
+        from treedetection_tpu.models.mask_rcnn import FPN_STRIDES
+        from treedetection_tpu.ops.boxes import apply_deltas, clip_boxes
+
+        @jax.jit
+        def _head(p, t):
+            def m(self, images):
+                feats = self.backbone(images.astype(self.cfg.dtype))
+                lg, dl = self.rpn_head(feats)
+                return ([l.astype(jnp.float32) for l in lg],
+                        [d.astype(jnp.float32) for d in dl])
+            return model.apply(p, normalize_bgr(t), method=m)
+
+        lg, dl = _head(params, tiles)
+        jax.block_until_ready(lg)
+        out = {}
+
+        def timed(name, fn, *args):
+            jfn = jax.jit(fn)
+            try:
+                float(jfn(*args))
+                med, _ = median_ms(lambda: float(jfn(*args)), n=5)
+                out[name] = round(med, 1)
+                print(f"sweep[prop]: {name:<18} {med:6.1f}ms", file=sys.stderr)
+            except Exception as exc:
+                out[name] = f"err:{str(exc)[:120]}"
+
+        def full(pre, post=512, approx=16384):
+            def fn(lgs, dls):
+                anchors = pyramid_anchors_jnp(size, FPN_STRIDES)
+                props = jax.vmap(lambda a, b: generate_proposals(
+                    a, b, anchors, size, pre, post, 0.7,
+                    approx_topk_from=approx))(lgs, dls)
+                return props.scores.astype(jnp.float32).sum()
+            return fn
+
+        def topk_only(pre, approx=16384):
+            # generate_proposals minus the NMS + final top-k: per-level
+            # top-k, delta decode, clip
+            def fn(lgs, dls):
+                anchors = pyramid_anchors_jnp(size, FPN_STRIDES)
+
+                def one(lg_i, dl_i):
+                    acc = 0.0
+                    for lvl, an in enumerate(anchors):
+                        n = an.shape[0]
+                        scores = lg_i[lvl].reshape(n)
+                        d = dl_i[lvl].reshape(n, 4)
+                        k = min(pre, n)
+                        if approx and n > approx:
+                            ts, idx = jax.lax.approx_max_k(
+                                scores, k, recall_target=0.99)
+                        else:
+                            ts, idx = jax.lax.top_k(scores, k)
+                        boxes = clip_boxes(apply_deltas(d[idx], an[idx]),
+                                           size, size)
+                        acc += boxes.sum() + ts.sum()
+                    return acc
+                return jax.vmap(one)(lgs, dls).astype(jnp.float32).sum()
+            return fn
+
+        timed("full_pre1000", full(1000), lg, dl)
+        timed("full_pre512", full(512), lg, dl)
+        timed("full_pre256", full(256), lg, dl)
+        timed("topk_pre1000", topk_only(1000), lg, dl)
+        timed("topk_pre1000_exact", topk_only(1000, approx=0), lg, dl)
+
+        # NMS alone on a realistic stacked (5, K) level tensor
+        K = 1000
+        lbs = jnp.asarray(rng.uniform(0, 1024, (batch, 5, K, 4)),
+                          jnp.float32)
+        lbs = lbs.at[..., 2:].set(lbs[..., :2] + 8 +
+                                  jnp.abs(lbs[..., 2:] - lbs[..., :2]) * 0.1)
+        lss = jnp.asarray(rng.normal(size=(batch, 5, K)), jnp.float32)
+        lbs, lss = jax.device_put((lbs, lss), dev)
+
+        def nms_only(bx, sc):
+            keep = jax.vmap(jax.vmap(
+                lambda b, s: nms_mask(b, s, 0.7)))(bx, sc)
+            return keep.astype(jnp.float32).sum()
+        timed("nms_K1000", nms_only, lbs, lss)
+        timed("nms_K512", nms_only, lbs[:, :, :512], lss[:, :, :512])
+        record("prop", out)
+
     if "mfu" in phases:
         # Backbone MFU levers (VERDICT r3 task 4): scan-over-blocks vs
         # unrolled res stages, and the RPN-head increment, at production
