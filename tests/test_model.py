@@ -88,7 +88,10 @@ class TestFoldW:
         # folded conv on W-paired channels == original stride-1 SAME conv
         from treedetection_tpu.models.resnet import fold_kernel_w
         rng = np.random.default_rng(3)
-        for k, cin, cout in ((3, 4, 8), (1, 4, 8), (3, 8, 4)):
+        # kw 5 and 9 (even half) regression: a closed-form fmin once
+        # over-extended the folded range there, shifting SAME padding a tap
+        for k, cin, cout in ((3, 4, 8), (1, 4, 8), (3, 8, 4), (5, 4, 8),
+                             (7, 4, 8), (9, 4, 4)):
             x = jnp.asarray(rng.standard_normal((2, 6, 10, cin)),
                             jnp.float32)
             w = jnp.asarray(rng.standard_normal((k, k, cin, cout)),

@@ -379,6 +379,14 @@ class TestPatchROIAlign:
             np.testing.assert_array_equal(
                 np.asarray(out.roi_overflow), want.astype(np.int32)), \
                 (box_t, mask_t)
+            # prop_overflow is the SEPARATE truncated-top-quartile-proposal
+            # signal (ADVICE r4: the two counters must not be conflated):
+            # box-pool truncation flags every proposal incl. the top quartile
+            K = cfg.rpn_post_nms_topk
+            want_prop = (np.full_like(n_valid, max(K // 4, 1)) if box_t
+                         else np.zeros_like(n_valid))
+            np.testing.assert_array_equal(
+                np.asarray(out.prop_overflow), want_prop.astype(np.int32))
 
     def test_packed_transport_roundtrip_bit_exact(self):
         """ops.pack single-buffer transport: pack on device, unpack on host,
@@ -400,7 +408,9 @@ class TestPatchROIAlign:
             masks=jnp.asarray(rng.integers(0, 256, (B, D, R, R)),
                               dtype=jnp.uint8),
             roi_overflow=jnp.asarray(rng.integers(0, 100, (B,)),
-                                     dtype=jnp.int32))
+                                     dtype=jnp.int32),
+            prop_overflow=jnp.asarray(rng.integers(0, 100, (B,)),
+                                      dtype=jnp.int32))
         packed = jax.jit(pack_model_output)(out)
         assert packed.dtype == jnp.uint8
         assert packed.shape == (B, packed_width(D, R))
@@ -414,6 +424,8 @@ class TestPatchROIAlign:
         np.testing.assert_array_equal(np.asarray(out.masks), got.masks)
         np.testing.assert_array_equal(np.asarray(out.roi_overflow),
                                       got.roi_overflow)
+        np.testing.assert_array_equal(np.asarray(out.prop_overflow),
+                                      got.prop_overflow)
 
     def test_pallas_kernel_interpret_matches_gather(self):
         """CPU coverage for the Pallas patch-DMA kernel (ADVICE r2): the TPU

@@ -570,6 +570,72 @@ class TestBandPredrop:
         # the exact exclusion yields the same final set either way
         assert survivors(with_band) == survivors(without)
 
+    def test_band_predrop_requires_strict_config_keys(self):
+        """ADVICE r4 (medium): the pre-drop must NOT run with guessed
+        defaults — border_overlap_exclusion reads the keys strictly, so a
+        config missing any of them disables the pre-drop instead of
+        silently dropping crowns with a 135 m guess."""
+        from treedetection_tpu.prediction import (
+            BAND_PREDROP_KEYS, band_predrop_bounds)
+        full = {"use_overlap": True, "tile_width": 50, "tile_height": 50,
+                "buffer": 20, "overlapping_tiles_width": 3,
+                "overlapping_tiles_height": 3}
+        b = (0.0, 0.0, 1000.0, 1000.0)
+        assert band_predrop_bounds(full, "x.tif", b) == (
+            135.0, 135.0, 865.0, 865.0)
+        for k in BAND_PREDROP_KEYS:
+            partial = {kk: v for kk, v in full.items() if kk != k}
+            assert band_predrop_bounds(partial, "x.tif", b) is None, k
+        # merged seam strips re-predict the band: never pre-drop there
+        strip_cfg = dict(full, image_merged_regex=r"(\d+)_(\d+)_.*\.tif")
+        assert band_predrop_bounds(strip_cfg, "12_34_56_78_s.tif", b) is None
+        assert band_predrop_bounds(strip_cfg, "x.tif", b) is not None
+        for off in ("use_overlap", "band_predrop"):
+            assert band_predrop_bounds(dict(full, **{off: False}),
+                                       "x.tif", b) is None
+
+    def test_band_sidecar_runs_exclusion_without_rasters(self, tmp_path):
+        """ADVICE r4 (medium): when no height/RGBI raster matches a stitched
+        layer, postprocess must STILL apply the border/overlap exclusion
+        using the bounds the predictor recorded in band_predrop.json —
+        otherwise the pre-drop deletes band crowns the final output should
+        only lose when the exclusion actually runs."""
+        import json
+        from treedetection_tpu.postprocessing import process_single_file
+        from treedetection_tpu.vector import read_gpkg, write_gpkg
+
+        def square(x, y, s):
+            return np.array([[x, y], [x + s, y], [x + s, y + s], [x, y + s]],
+                            dtype=np.float64)
+
+        # raster bounds (0, 0, 1000, 1000), band half-width 135 m
+        crowns = [square(400, 400, 10),   # interior: kept
+                  square(30, 400, 10)]    # inside left band: excluded
+        props = [{"Confidence_score": 0.9}, {"Confidence_score": 0.9}]
+        gpkg = tmp_path / "img.gpkg"
+        write_gpkg(str(gpkg), crowns, props, srs_id=25832)
+        cfg = {"use_overlap": True, "tile_width": 50, "tile_height": 50,
+               "buffer": 20, "overlapping_tiles_width": 3,
+               "overlapping_tiles_height": 3, "height_threshold": 0,
+               "confidence_threshold": 0.3}
+        out = tmp_path / "processed_img.gpkg"
+
+        # no sidecar, no rasters -> exclusion skipped, both crowns kept
+        n = process_single_file(str(gpkg), cfg, None, None, str(out))
+        assert n == 2
+
+        # sidecar present (predictor pre-dropped with these bounds) ->
+        # the exclusion runs from the recorded bounds
+        side_dir = tmp_path / "img"
+        side_dir.mkdir()
+        (side_dir / "band_predrop.json").write_text(
+            json.dumps({"bounds": [0.0, 0.0, 1000.0, 1000.0]}))
+        n = process_single_file(str(gpkg), cfg, None, None, str(out))
+        assert n == 1
+        geoms, _, _ = read_gpkg(str(out))
+        assert len(geoms) == 1
+        assert np.asarray(geoms[0][0][0])[:, 0].min() >= 135.0
+
 
 class TestPredictorCache:
     def test_get_predictor_single_construction_under_race(self, monkeypatch):

@@ -275,10 +275,26 @@ def save_checkpoint_npz(path: str, params: Dict[str, Any],
             if dtype == np.float16 and src.size:
                 finite = np.isfinite(src)
                 flushed = (src != 0) & finite & (cast == 0)
+                n_flushed = int(flushed.sum())
                 nonzero = max(int(((src != 0) & finite).sum()), 1)
+                # small tensors (the folded frozen-BN scale/bias vectors and
+                # other norm affines) get the strict any()-flush guard: a
+                # couple of legitimately tiny channels zeroed out of 256 is
+                # multiplicative corruption, and keeping a KB-sized vector
+                # at fp32 costs nothing
+                small = src.size < 10_000
                 if (not np.isfinite(cast[finite]).all()
-                        or flushed.sum() / nonzero > 0.01):
+                        or (n_flushed > 0 if small
+                            else n_flushed / nonzero > 0.01)):
                     cast = src.astype(np.float32)
+                elif n_flushed:
+                    # degradation accepted (<=1% of a large tensor) but
+                    # never silent
+                    import logging
+                    logging.getLogger("treedetection_tpu").warning(
+                        f"fp16 checkpoint save flushed {n_flushed} tiny "
+                        f"value(s) to zero in {prefix!r} "
+                        f"({src.size} entries)")
             flat[prefix] = cast
 
     rec("", params)

@@ -78,16 +78,19 @@ class ModelOutput(NamedTuple):
     valid: jnp.ndarray      # (B, D) bool
     masks: jnp.ndarray      # (B, D, 28, 28) uint8 sigmoid probability * 255
                             # (quantized on device: 4x less device->host fetch)
-    roi_overflow: jnp.ndarray  # (B,) int32 — per-image MAX of (a) VALID
+    roi_overflow: jnp.ndarray  # (B,) int32 — per-image count of VALID
                             # detections whose ROIAlign pooling (box pool,
                             # traced via the detection's source proposal, or
                             # mask pool) stayed TRUNCATED after every
-                            # in-program class, and (b) truncated proposals
-                            # in the top RPN-score quartile (a truncated
-                            # proposal can silently SUPPRESS a detection);
-                            # hosts pass it to
+                            # in-program fixup; hosts pass it to
                             # ops.roi_align.report_overflow_host so the
                             # degradation is never silent
+    prop_overflow: Any = None  # (B,) int32 — truncated proposals in the top
+                            # RPN-score quartile (a truncated proposal's
+                            # depressed classifier score can silently
+                            # SUPPRESS a detection, invisible to
+                            # roi_overflow); reported separately so the two
+                            # signals keep distinct host warnings
 
 
 class MaskRCNN(nn.Module):
@@ -166,17 +169,17 @@ class MaskRCNN(nn.Module):
         # proposals that never survive scoring don't count — the score-aware
         # budgets deliberately spend exactness on the top scorers.  A
         # truncated proposal whose depressed classifier score SUPPRESSES the
-        # detection would be invisible to that count, so also count truncated
-        # proposals in the top RPN-score quartile (proposals are
-        # score-descending) and report whichever signal is larger — budget
-        # exhaustion that silently eats detections still warns.
+        # detection would be invisible to that count, so SEPARATELY count
+        # truncated proposals in the top RPN-score quartile (proposals are
+        # score-descending) — budget exhaustion that silently eats
+        # detections still warns, under its own accurate message.
         det_box_trunc = jnp.take_along_axis(box_inexact, det.src, axis=1)
         degraded = (det.valid & (det_box_trunc | mask_inexact)).sum(axis=1)
         top_prop_trunc = box_inexact[:, :max(K // 4, 1)].sum(axis=1)
         return ModelOutput(boxes=det.boxes, scores=det.scores,
                            classes=det.classes, valid=det.valid, masks=masks,
-                           roi_overflow=jnp.maximum(degraded, top_prop_trunc)
-                           .astype(jnp.int32))
+                           roi_overflow=degraded.astype(jnp.int32),
+                           prop_overflow=top_prop_trunc.astype(jnp.int32))
 
 
 def create_model(cfg: Optional[MaskRCNNConfig] = None,

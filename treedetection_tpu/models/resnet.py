@@ -146,11 +146,18 @@ def fold_kernel_w(w: jnp.ndarray) -> jnp.ndarray:
     cin, cout = w.shape[2], w.shape[3]
     assert kw % 2 == 1, "W-fold expects an odd kernel width (SAME conv)"
     half = kw // 2
-    # folded width: offsets o in [-half .. half+1] -> floor(o/2) in
-    # [-(half+1)//2 .. (half+1)//2]; for kw=3 that is 3 taps, for kw=1 one
-    fmin = -(half + 1) // 2 if half else 0
-    fmax = (half + 1) // 2
+    # folded tap range derived from the ACTUAL offsets: o = q + dw - half
+    # over q in {0,1}, dw in [0, kw) -> o in [-half, half+1], f = floor(o/2).
+    # Both extremes equal ceil(half/2) in magnitude, so the folded kernel is
+    # always odd-width with symmetric SAME padding (asserted below; a closed
+    # -form fmin once over-extended the range for even half, shifting the
+    # folded padding by one tap for kw in {5, 9, ...}).
+    offsets = [q + dw - half for q in range(2) for dw in range(kw)]
+    fmin = min(o // 2 for o in offsets)
+    fmax = max(o // 2 for o in offsets)
     kf = fmax - fmin + 1
+    assert kf % 2 == 1 and (kf - 1) // 2 == -fmin, \
+        f"W-fold padding asymmetric for kw={kw} (kf={kf}, fmin={fmin})"
     out = jnp.zeros((k, kf, 2 * cin, 2 * cout), dtype=w.dtype)
     for q in range(2):
         for dw in range(kw):

@@ -26,9 +26,9 @@ import jax.numpy as jnp
 
 def packed_width(max_detections: int, mask_resolution: int = 28) -> int:
     """Bytes per batch row: boxes 16D + scores 4D + classes 4D + valid D +
-    masks R*R*D + roi_overflow 4."""
+    masks R*R*D + roi_overflow 4 + prop_overflow 4."""
     d = max_detections
-    return d * (16 + 4 + 4 + 1 + mask_resolution * mask_resolution) + 4
+    return d * (16 + 4 + 4 + 1 + mask_resolution * mask_resolution) + 8
 
 
 def pack_model_output(out) -> jnp.ndarray:
@@ -39,6 +39,9 @@ def pack_model_output(out) -> jnp.ndarray:
         return jax.lax.bitcast_convert_type(
             a.astype(want_dtype), jnp.uint8).reshape(B, -1)
 
+    prop = getattr(out, "prop_overflow", None)
+    if prop is None:
+        prop = jnp.zeros_like(out.roi_overflow)
     parts = [
         as_bytes(out.boxes, jnp.float32),          # 16 D
         as_bytes(out.scores, jnp.float32),         # 4 D
@@ -46,6 +49,7 @@ def pack_model_output(out) -> jnp.ndarray:
         out.valid.astype(jnp.uint8).reshape(B, D),  # D
         out.masks.reshape(B, -1),                  # R*R*D (uint8 already)
         as_bytes(out.roi_overflow, jnp.int32),     # 4
+        as_bytes(prop, jnp.int32),                 # 4
     ]
     return jnp.concatenate(parts, axis=1)
 
@@ -72,6 +76,8 @@ def unpack_model_output(buf: np.ndarray, max_detections: int,
     valid = take(D).astype(bool)
     masks = take(R * R * D).reshape(B, D, R, R)
     roi_overflow = take(4).view(np.int32).reshape(B)
+    prop_overflow = take(4).view(np.int32).reshape(B)
     return SimpleNamespace(boxes=boxes, scores=scores, classes=classes,
                            valid=valid, masks=masks,
-                           roi_overflow=roi_overflow)
+                           roi_overflow=roi_overflow,
+                           prop_overflow=prop_overflow)

@@ -911,6 +911,27 @@ def build_file_index(paths: Sequence[str], regexes: Sequence[str]) -> Dict[str, 
     return index
 
 
+def _load_band_sidecar_bounds(gpkg_path: str
+                              ) -> Optional[Tuple[float, float, float, float]]:
+    """Bounds recorded by prediction's band pre-drop (``band_predrop.json``
+    in the per-tile prediction dir — ``<pred_root>/<stem>/`` single-model,
+    ``<pred_root>/{urban,forest}/<stem>/`` two-model)."""
+    import json
+    stem = Path(gpkg_path).stem
+    root = os.path.dirname(gpkg_path)
+    for sub in (stem, os.path.join("urban", stem),
+                os.path.join("forest", stem)):
+        sc = os.path.join(root, sub, "band_predrop.json")
+        if os.path.exists(sc):
+            try:
+                with open(sc) as fh:
+                    b = json.load(fh)["bounds"]
+                return (float(b[0]), float(b[1]), float(b[2]), float(b[3]))
+            except (OSError, ValueError, KeyError, IndexError):
+                return None
+    return None
+
+
 def process_single_file(gpkg_path: str, config: Dict[str, Any],
                         height_path: Optional[str], rgbi_path: Optional[str],
                         out_path: str, is_merged_strip: bool = False) -> int:
@@ -930,6 +951,13 @@ def process_single_file(gpkg_path: str, config: Dict[str, Any],
     import time as _time
     _t0 = _time.time()
     hr, ha, nr, na, rb = load_rasters_for_file(height_path, rgbi_path, config)
+    if rb is None:
+        # No raster matched -> border_overlap_exclusion would not run; but
+        # if prediction's band PRE-DROP ran for this layer it already
+        # deleted certain-discard crowns, so the exclusion MUST still run
+        # with the same bounds.  The predictor records them in a
+        # ``band_predrop.json`` sidecar next to the per-tile predictions.
+        rb = _load_band_sidecar_bounds(gpkg_path)
     _phase("raster_load", _t0)
     out_geoms, out_props = process_crowns(
         crowns, np.asarray(scores, dtype=np.float32), config,

@@ -160,6 +160,37 @@ def _resize_mask_np(mask: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
             + mask[np.ix_(y1, x1)] * ly * lx)
 
 
+BAND_PREDROP_KEYS = ("tile_width", "tile_height", "buffer",
+                     "overlapping_tiles_width", "overlapping_tiles_height")
+
+
+def band_predrop_bounds(cfg: Dict[str, Any], tif_basename: str,
+                        bounds: Tuple[float, float, float, float]
+                        ) -> Optional[Tuple[float, float, float, float]]:
+    """Keep-box for the overlap-band pre-drop, or None when the pre-drop
+    must not run.
+
+    Guards (ADVICE r4 medium): the pre-drop is only valid when postprocess's
+    ``border_overlap_exclusion`` applies the same band test, so it requires
+    the exact config keys that exclusion reads — STRICT access, never
+    guessed defaults — and is disabled on merged seam strips (which
+    re-predict the band by design)."""
+    if not (cfg.get("use_overlap", True) and cfg.get("band_predrop", True)):
+        return None
+    if not all(k in cfg for k in BAND_PREDROP_KEYS):
+        return None
+    import re as _re
+    mrx = cfg.get("image_merged_regex")
+    if mrx and _re.match(mrx, tif_basename):
+        return None
+    half_w = ((float(cfg["tile_width"]) + 2 * float(cfg["buffer"]))
+              * float(cfg["overlapping_tiles_width"]) / 2.0)
+    half_h = ((float(cfg["tile_height"]) + 2 * float(cfg["buffer"]))
+              * float(cfg["overlapping_tiles_height"]) / 2.0)
+    return (bounds[0] + half_w, bounds[1] + half_h,
+            bounds[2] - half_w, bounds[3] - half_h)
+
+
 class Predictor:
     """Batched tile predictor bound to one model checkpoint.
 
@@ -423,25 +454,23 @@ class Predictor:
         # box), so skip its mask->polygon work here — ~half the host
         # polygonization on a 1 km^2 file.  Ambiguous (band-crossing) boxes
         # keep full processing; the exact polygon-bounds test still runs in
-        # postprocess, so the FINAL output is identical.
-        self._band_keep = None
-        cfg = self.config
-        if cfg.get("use_overlap", True) and cfg.get("band_predrop", True):
-            import re as _re
-            mrx = cfg.get("image_merged_regex")
-            is_strip = bool(mrx and _re.match(mrx, os.path.basename(tifpath)))
-            if not is_strip:
-                b = src.bounds
-                half_w = ((float(cfg.get("tile_width", 50))
-                           + 2 * float(cfg.get("buffer", 20)))
-                          * float(cfg.get("overlapping_tiles_width", 1))
-                          / 2.0)
-                half_h = ((float(cfg.get("tile_height", 50))
-                           + 2 * float(cfg.get("buffer", 20)))
-                          * float(cfg.get("overlapping_tiles_height", 1))
-                          / 2.0)
-                self._band_keep = (b[0] + half_w, b[1] + half_h,
-                                   b[2] - half_w, b[3] - half_h)
+        # postprocess, so the FINAL output is identical.  The pre-drop is
+        # only valid if that exclusion actually RUNS: it requires the same
+        # config keys border_overlap_exclusion reads (strict access, no
+        # guessed defaults), and a ``band_predrop.json`` sidecar records the
+        # bounds so postprocess applies the identical exclusion even when no
+        # height/RGBI raster matches the stitched layer (which would
+        # otherwise skip the test and silently lose the pre-dropped crowns).
+        self._band_keep = band_predrop_bounds(
+            self.config, os.path.basename(tifpath), src.bounds)
+        if self._band_keep is not None:
+            # sidecar: guarantees postprocess runs the exclusion with these
+            # bounds even when no height/RGBI raster matches the layer
+            sidecar = os.path.join(output_dir, "band_predrop.json")
+            tmp = sidecar + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"bounds": [float(v) for v in src.bounds]}, fh)
+            os.replace(tmp, sidecar)
         try:
             n = self._predict_image(src, items, tifpath, output_dir)
         finally:
@@ -574,11 +603,20 @@ class Predictor:
                                       self.cfg.mask_pool * 2)
             t1 = _time.time()
             stats["fetch_s"] = stats.get("fetch_s", 0.0) + (t1 - t0)
-            # roi_overflow counts boxes whose pooling stayed truncated after
-            # every in-program fixup (large-patch overlay + gather fallback);
-            # any positive total is real, warnable degradation
+            # roi_overflow counts VALID detections whose pooling stayed
+            # truncated after every in-program fixup (large-patch overlay +
+            # gather fallback); prop_overflow separately counts truncated
+            # top-quartile proposals (possible silent detection suppression)
+            # — two distinct signals, two accurate warnings
             report_overflow_host(int(out.roi_overflow.sum()),
                                  f" (batch of {batch_items[0]['tile_id']})")
+            prop = getattr(out, "prop_overflow", None)
+            if prop is not None:
+                report_overflow_host(
+                    int(prop.sum()),
+                    f" (top-quartile PROPOSALS, batch of "
+                    f"{batch_items[0]['tile_id']}; truncated proposals can "
+                    f"suppress detections)")
             for k, it in enumerate(batch_items):
                 self._write_tile_predictions(
                     it, out.boxes[k], out.scores[k], out.masks[k],
