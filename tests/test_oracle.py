@@ -350,6 +350,33 @@ def test_full_model_parity_r101():
             assert _binary_iou(gb, wb) >= 0.99
 
 
+def test_full_model_parity_fold_w():
+    """The serving default ``fold_w=True`` (W-folded res2 execution,
+    resnet.fold_kernel_w) keeps oracle parity on a converted detectron2
+    checkpoint — the exact configuration bench.py/predictor now run."""
+    sd = _make_fake_d2_state_dict(depth=50)
+    cfg = MaskRCNNConfig(depth=50, input_size=128, bf16=False,
+                         rpn_pre_nms_topk=200, rpn_post_nms_topk=100,
+                         max_detections=20, fold_w=True)
+    converted = convert_detectron2_state_dict(sd, depth=50)
+    model = MaskRCNN(cfg)
+    rng = np.random.default_rng(11)
+    x = (rng.integers(0, 255, (1, 128, 128, 3)).astype(np.float32)
+         - np.asarray([103.53, 116.28, 123.675], dtype=np.float32))
+    got = jax.jit(lambda p, im: model.apply(p, im))(converted, jnp.asarray(x))
+    want = oracle_forward(sd, x, cfg)
+    nv = int(want["valid"].sum())
+    assert nv > 0, "oracle produced no detections - vacuous"
+    assert int(np.asarray(got.valid[0]).sum()) == nv
+    assert np.abs(np.asarray(got.boxes[0])[:nv]
+                  - want["boxes"][:nv]).max() < 1e-3
+    got_masks = np.asarray(got.masks[0])[:nv].astype(np.float32) / 255.0
+    for d in range(nv):
+        gb, wb = got_masks[d] > 0.5, want["masks"][d] > 0.5
+        if gb.sum() + wb.sum():
+            assert _binary_iou(gb, wb) >= 0.99
+
+
 def test_shortest_edge_path_parity(tmp_path):
     """The REAL Predictor forward in shortest_edge mode (detectron2 test-time
     resize, reference ``prediction.py:169``) == oracle on the torch-resized,

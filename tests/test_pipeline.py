@@ -669,6 +669,35 @@ class TestPredictorCache:
         assert len(built) == 1
         assert results[0] is results[1] is built[0]
 
+    def test_global_jit_reuse_across_predictors(self):
+        """Two Predictors with the same static spec (e.g. successive
+        process_files runs in one driver process, or bench's warm pass)
+        must share ONE jit object — the compiled program is weight-agnostic
+        (params ride as arguments), so re-tracing per run wastes the 3.7 s
+        executable load a warm pass would otherwise pay."""
+        import numpy as np
+        from treedetection_tpu import prediction as pred_mod
+
+        cfg = {"model_depth": 50, "model_input_size": 128,
+               "rpn_pre_nms_topk": 64, "rpn_post_nms_topk": 32,
+               "max_detections": 8, "mixed_precision": False,
+               "batch_size": 1}
+        p1 = pred_mod.Predictor(dict(cfg), None)
+        p2 = pred_mod.Predictor(dict(cfg), None)
+        fn1, scale1 = p1._get_forward(96)
+        fn2, scale2 = p2._get_forward(96)
+        assert fn1.func is fn2.func          # shared jitted program
+        assert fn1.args[0] is p1.params      # per-predictor weights
+        assert scale1 == scale2
+        # different static spec -> different program
+        cfg3 = dict(cfg, model_input_size=160)
+        p3 = pred_mod.Predictor(cfg3, None)
+        fn3, _ = p3._get_forward(96)
+        assert fn3.func is not fn1.func
+        # the shared program actually runs with either predictor's weights
+        out = fn1(np.zeros((1, 96, 96, 3), dtype=np.uint8))
+        assert np.asarray(out).shape[0] == 1
+
 
 @pytest.mark.slow
 class TestTrainedCheckpointEndToEnd:

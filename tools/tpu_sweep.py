@@ -847,6 +847,159 @@ def main(phases) -> int:
                   useful_block, 24)
         record("fold", out)
 
+    if "foldab" in phases:
+        # Production-config A/B of the serving fold_w default (VERDICT r5
+        # task 1): full R101 @ 1024^2, bf16, topk 512 (the bench knob set),
+        # fold_w off vs on.  Records serial throughput, the backbone+rpn
+        # stage time per variant, and an on-chip smoke parity (the exact
+        # numerical parity is pinned by tests/test_oracle.py::
+        # test_full_model_parity_fold_w and tests/test_model.py::TestFoldW).
+        import dataclasses
+        cfg_ab = MaskRCNNConfig(depth=101, input_size=size, bf16=True,
+                                rpn_post_nms_topk=512,
+                                rpn_approx_topk_from=16384)
+        model_off, params_ab = create_model(cfg_ab)
+        model_on = type(model_off)(cfg=dataclasses.replace(cfg_ab,
+                                                           fold_w=True))
+        params_ab = jax.device_put(params_ab, dev)
+        out = {}
+
+        def bb_fn(self, images):
+            c = self.cfg
+            feats = self.backbone(images.astype(c.dtype))
+            logits, deltas = self.rpn_head(feats)
+            return logits[0].astype(jnp.float32).sum()
+
+        bb_sums = {}
+        fwds, sts = {}, {}
+        for name, m in (("off", model_off), ("on", model_on)):
+            @jax.jit
+            def fwd(p, t, _m=m):
+                return pack_model_output(_m.apply(p, normalize_bgr(t)))
+
+            @jax.jit
+            def st(p, t, _m=m):
+                return _m.apply(p, normalize_bgr(t), method=bb_fn)
+
+            t0 = time.time()
+            jax.device_get(fwd(params_ab, tiles))
+            out[name] = {"compile_s": round(time.time() - t0, 1)}
+            bb_sums[name] = float(st(params_ab, tiles))  # compile staged
+            fwds[name], sts[name] = fwd, st
+        # INTERLEAVED timing: the tunnel drifts on minute scales, so
+        # alternate the two variants within each round instead of timing
+        # them in separate blocks
+        runs = {"off": [], "on": []}
+        runs_bb = {"off": [], "on": []}
+        for _ in range(7):
+            for name in ("off", "on"):
+                t0 = time.time()
+                jax.device_get(fwds[name](params_ab, tiles))
+                runs[name].append((time.time() - t0) * 1e3)
+                t0 = time.time()
+                float(sts[name](params_ab, tiles))
+                runs_bb[name].append((time.time() - t0) * 1e3)
+        for name in ("off", "on"):
+            med = float(np.median(runs[name]))
+            out[name].update({
+                "compute_ms_median7": round(med, 1),
+                "tiles_per_s_serial": round(batch / (med / 1e3), 1),
+                "runs_ms": [round(r) for r in runs[name]],
+                "backbone_rpn_cum_ms": round(
+                    float(np.median(runs_bb[name])), 1)})
+            print(f"sweep[foldab]: fold_w={name} {med:.1f}ms "
+                  f"({batch / (med / 1e3):.1f} tiles/s serial), "
+                  f"backbone+rpn {out[name]['backbone_rpn_cum_ms']}ms",
+                  file=sys.stderr)
+        denom = max(abs(bb_sums["off"]), 1e-6)
+        out["bb_logit_sum_rel_diff"] = abs(
+            bb_sums["on"] - bb_sums["off"]) / denom
+        record("foldab", out)
+
+    if "foldstage" in phases:
+        # Localize the foldab full-model regression: cumulative stage cums
+        # for fold_w off vs on (the truncated backbone+rpn program got
+        # FASTER under fold while the full program got slower — find which
+        # downstream stage pays).
+        import dataclasses
+        from treedetection_tpu.models.mask_rcnn import FPN_STRIDES
+        from treedetection_tpu.models.rpn import generate_proposals
+        from treedetection_tpu.models.roi_heads import box_inference
+        from treedetection_tpu.ops.roi_align import (
+            multilevel_roi_align_batched)
+
+        cfg_ab = MaskRCNNConfig(depth=101, input_size=size, bf16=True,
+                                rpn_post_nms_topk=512,
+                                rpn_approx_topk_from=16384)
+        model_off, params_ab = create_model(cfg_ab)
+        model_on = type(model_off)(cfg=dataclasses.replace(cfg_ab,
+                                                           fold_w=True))
+        params_ab = jax.device_put(params_ab, dev)
+
+        def _stage_fn(upto):
+            def fn(self, images):
+                c = self.cfg
+                B = images.shape[0]
+                feats = self.backbone(images.astype(c.dtype))
+                logits, deltas = self.rpn_head(feats)
+                if upto == "rpn":
+                    return logits[0].astype(jnp.float32).sum()
+                props = jax.vmap(lambda lg, dl: generate_proposals(
+                    lg, dl, self._anchors, c.input_size,
+                    c.rpn_pre_nms_topk, c.rpn_post_nms_topk,
+                    c.rpn_nms_threshold,
+                    approx_topk_from=c.rpn_approx_topk_from))(logits, deltas)
+                if upto == "proposals":
+                    return props.scores.astype(jnp.float32).sum()
+                K = props.boxes.shape[1]
+                feats4 = [f.astype(c.dtype) for f in feats[:4]]
+                pooled = multilevel_roi_align_batched(
+                    feats4, props.boxes, c.box_pool, FPN_STRIDES[:4])
+                if upto == "boxpool":
+                    return pooled.astype(jnp.float32).sum()
+                cls_logits, box_deltas = self.box_head(
+                    pooled.reshape((B * K,) + pooled.shape[2:])
+                    .astype(c.dtype))
+                det = jax.vmap(lambda cl, bd, pb, ps: box_inference(
+                    cl, bd, pb, ps, c.input_size, c.score_threshold,
+                    c.nms_threshold, c.max_detections))(
+                    cls_logits.reshape(B, K, -1),
+                    box_deltas.reshape(B, K, -1),
+                    props.boxes, props.scores)
+                if upto == "boxhead":
+                    return det.scores.astype(jnp.float32).sum()
+                D = det.boxes.shape[1]
+                mask_pooled = multilevel_roi_align_batched(
+                    feats4, det.boxes, c.mask_pool, FPN_STRIDES[:4])
+                ml = self.mask_head(
+                    mask_pooled.reshape((B * D,) + mask_pooled.shape[2:])
+                    .astype(c.dtype))
+                return ml.astype(jnp.float32).sum()
+            return fn
+
+        out = {}
+        for name, m in (("off", model_off), ("on", model_on)):
+            prev = 0.0
+            stages = {}
+            for upto in ("rpn", "proposals", "boxpool", "boxhead",
+                         "maskhead"):
+                method = _stage_fn(upto)
+
+                @jax.jit
+                def _staged(p, t, _m=m, _method=method):
+                    return _m.apply(p, normalize_bgr(t), method=_method)
+
+                float(_staged(params_ab, tiles))  # compile
+                med, _ = median_ms(
+                    lambda: float(_staged(params_ab, tiles)), n=3)
+                stages[upto] = {"cum_ms": round(med, 1),
+                                "delta_ms": round(med - prev, 1)}
+                prev = med
+                print(f"sweep[foldstage]: {name} {upto:<10} cum "
+                      f"{med:6.1f}ms", file=sys.stderr)
+            out[name] = stages
+        record("foldstage", out)
+
     if "prop2" in phases:
         # Finer split of the proposal stage's dominant ~11 ms: raw top-k vs
         # gather vs decode, per level.

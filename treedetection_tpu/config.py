@@ -366,6 +366,13 @@ class ModelSpec:
     # hatch (`scan_blocks: false`) in case a backend mishandles the scanned
     # program — checkpoints load either way (convert.restack_backbone).
     scan_blocks: bool = True
+    # W-folded res2 execution (resnet.fold_kernel_w): res2's 64-channel
+    # convs fill only half the 128-lane MXU (~18% MFU measured); running the
+    # stage on W-paired channels doubles the FLOPs but ~4x the MXU fill
+    # (~38% effective).  Identical math + param tree (parity-tested);
+    # serving default ON, applied only on accelerators with frozen norms.
+    # Escape hatch: `fold_w: false` in the YAML.
+    fold_w: bool = True
 
 
 def model_spec(config: Dict[str, Any]) -> ModelSpec:
@@ -386,6 +393,7 @@ def model_spec(config: Dict[str, Any]) -> ModelSpec:
         rpn_approx_topk_from=int(config.get("rpn_approx_topk_from", 16384)),
         bf16=bool(config.get("mixed_precision", True)),
         scan_blocks=bool(config.get("scan_blocks", True)),
+        fold_w=bool(config.get("fold_w", True)),
         test_resize=str(config.get("test_resize", "fixed")),
         resize_shortest_edge=int(config.get("resize_shortest_edge", 800)),
         resize_max_size=int(config.get("resize_max_size", 1333)),

@@ -51,8 +51,10 @@ AREA_UPPER_BOUND = 1000.0  # m^2; reference postprocessing.py:765-767
 # issue up to num_workers simultaneous compiles on its first wave.  Execution
 # is serialized by the single device anyway, so the gate costs no throughput;
 # the pool's win (raster decode + vector I/O overlap) is untouched.
-import threading as _threading
-_DEVICE_GATE = _threading.RLock()
+# The lock is PROCESS-WIDE (utils.device_gate): the overlapped predict/
+# postprocess pipeline routes the Predictor's dispatch/fetch through the
+# same gate so a stats compile here never interleaves with a predict RPC.
+from treedetection_tpu.utils.device_gate import DEVICE_GATE as _DEVICE_GATE
 
 # Cumulative per-phase wall-clock over the process' postprocess calls —
 # read by bench.py (BENCH_DETAIL) and perf triage; reset with .clear().

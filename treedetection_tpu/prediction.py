@@ -160,6 +160,14 @@ def _resize_mask_np(mask: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
             + mask[np.ix_(y1, x1)] * ly * lx)
 
 
+import threading as _threading
+
+# process-global jitted-forward cache (see Predictor._build_forward): the
+# compiled program is weight-agnostic, so Predictors with the same static
+# spec share one jit object across runs in the same process
+_GLOBAL_JIT_CACHE: Dict[Any, Any] = {}
+_GLOBAL_JIT_LOCK = _threading.Lock()
+
 BAND_PREDROP_KEYS = ("tile_width", "tile_height", "buffer",
                      "overlapping_tiles_width", "overlapping_tiles_height")
 
@@ -228,6 +236,9 @@ class Predictor:
             bf16=spec.bf16 and not on_cpu,
             rpn_approx_topk_from=spec.rpn_approx_topk_from,
             scan_blocks=spec.scan_blocks,
+            # fold_w doubles res2 FLOPs to fill the 128-lane MXU — a win on
+            # accelerators, pure cost on the CPU fallback
+            fold_w=spec.fold_w and not on_cpu,
         )
         self.model = MaskRCNN(self.cfg)
         self.params = None
@@ -364,6 +375,24 @@ class Predictor:
         pixel_mean, pixel_std = spec.pixel_mean, spec.pixel_std
         mesh = self.mesh
 
+        # Process-global jit reuse: the compiled program is WEIGHT-AGNOSTIC
+        # (params ride as device-resident arguments), so two Predictors with
+        # the same static spec — e.g. successive ``process_files`` calls in
+        # one long-running driver, or the bench's warm pass — share one jit
+        # object and pay the trace + executable-load (3.7 s through the
+        # relay even with a warm persistent cache) exactly once per process.
+        mesh_key = (None if mesh is None else
+                    (tuple(mesh.axis_names),
+                     tuple(d.id for d in mesh.devices.flat)))
+        gkey = (self.cfg, content, tuple(pixel_mean), tuple(pixel_std),
+                mesh_key)
+        with _GLOBAL_JIT_LOCK:
+            jitted = _GLOBAL_JIT_CACHE.get(gkey)
+        if jitted is not None:
+            entry = (functools.partial(jitted, params), pad / content)
+            self._fwd_cache[key] = entry
+            return entry
+
         def _fwd(p, raw_tiles):
             # raw_tiles: (B, pad, pad, 3) uint8.  Weights arrive as a jit
             # ARGUMENT, not a closure constant: embedding ~170 MB of weights
@@ -395,6 +424,10 @@ class Predictor:
             jitted = jax.jit(_sharded)
         else:
             jitted = jax.jit(_fwd)
+        with _GLOBAL_JIT_LOCK:
+            _GLOBAL_JIT_CACHE[gkey] = jitted
+            while len(_GLOBAL_JIT_CACHE) > 8:  # bound executable residency
+                _GLOBAL_JIT_CACHE.pop(next(iter(_GLOBAL_JIT_CACHE)))
         fn = functools.partial(jitted, params)
         entry = (fn, pad / content)
         self._fwd_cache[key] = entry
@@ -406,10 +439,14 @@ class Predictor:
         compile-warmup thread; also useful in tests/serving to front-load the
         compile."""
         import time as _time
+        from treedetection_tpu.utils.device_gate import DEVICE_GATE
         t0 = _time.time()
         fn, _ = self._get_forward(pad)
-        out = fn(jnp.zeros((self.batch_size, pad, pad, 3), dtype=jnp.uint8))
-        jax.tree.map(lambda a: a.block_until_ready(), out)
+        with DEVICE_GATE:  # the warmup COMPILE must never interleave with
+            # other device work (the original wedge; utils.device_gate)
+            out = fn(jnp.zeros((self.batch_size, pad, pad, 3),
+                               dtype=jnp.uint8))
+            jax.tree.map(lambda a: a.block_until_ready(), out)
         self._warm_pads = getattr(self, "_warm_pads", set())
         self._warm_pads.add(pad)
         if self.logger:
@@ -514,6 +551,13 @@ class Predictor:
                  "fill_tiles": 0.0}
         t_start = __import__("time").time()
 
+        # Device-access gate (utils.device_gate): dispatch and fetch hold
+        # the same lock postprocessing's jitted stats calls hold, so the
+        # overlapped predict/postprocess pipeline never interleaves a stats
+        # COMPILE with an in-flight predict RPC (single-tenant relay wedge).
+        # Uncontended acquisition costs nothing on staged runs.
+        from treedetection_tpu.utils.device_gate import DEVICE_GATE
+
         def run_batch(batch):
             """Dispatch with failure detection: a crashed/restarted device
             worker (observed on remote TPU backends) gets a bounded
@@ -524,7 +568,8 @@ class Predictor:
             for attempt in range(3):
                 try:
                     t0 = _time.time()
-                    out = forward(batch)
+                    with DEVICE_GATE:
+                        out = forward(batch)
                     dt = _time.time() - t0
                     if stats["batches"] == 0:
                         stats["compile_s"] = dt  # first dispatch traces+compiles
@@ -582,9 +627,11 @@ class Predictor:
             # dispatch try/except.  Keep the batch input around so a
             # transient device failure can re-dispatch and re-fetch instead
             # of killing the county run.
+            from treedetection_tpu.utils.device_gate import DEVICE_GATE
             for attempt in range(3):
                 try:
-                    out = jax.device_get(device_out)
+                    with DEVICE_GATE:
+                        out = jax.device_get(device_out)
                     break
                 except Exception as exc:
                     transient = ("UNAVAILABLE" in str(exc)
