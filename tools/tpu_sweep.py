@@ -61,7 +61,11 @@ def main(phases) -> int:
         return 2
 
     size, batch = 1024, 8
+    # PRODUCTION knob set (bench.py / example config): topk 512, fold_w on.
+    # Earlier rounds ran the d2-default topk 1000 here, which overstated the
+    # boxpool/proposal stage costs ~2x vs the shipped operating point.
     cfg = MaskRCNNConfig(depth=101, input_size=size, bf16=True,
+                         rpn_post_nms_topk=512, fold_w=True,
                          rpn_approx_topk_from=16384)
     model, params = create_model(cfg)
     params = jax.device_put(params, dev)
@@ -1100,6 +1104,15 @@ def main(phases) -> int:
         lg, dl = _head(params, tiles)
         jax.block_until_ready(lg)
         out = {}
+        # Measured relay round-trip: every float() fetch pays it, so the raw
+        # medians of CHEAP programs are RTT-dominated — record the corrected
+        # chip-time estimate alongside (round-4's "NMS-dominated proposal
+        # stage" was this artifact: nms_K512 ~27 ms raw is ~0 ms chip).
+        tiny = jax.device_put(jnp.zeros((8, 128), jnp.float32), dev)
+        rtt_fn = jax.jit(lambda v: (v + 1.0).sum())
+        float(rtt_fn(tiny))
+        rtt_ms, _ = median_ms(lambda: float(rtt_fn(tiny)), n=5)
+        out["rtt_ms"] = round(rtt_ms, 1)
 
         def timed(name, fn, *args):
             jfn = jax.jit(fn)
@@ -1107,7 +1120,10 @@ def main(phases) -> int:
                 float(jfn(*args))
                 med, _ = median_ms(lambda: float(jfn(*args)), n=5)
                 out[name] = round(med, 1)
-                print(f"sweep[prop]: {name:<18} {med:6.1f}ms", file=sys.stderr)
+                out[name + "_chip"] = round(max(med - rtt_ms, 0.0), 1)
+                print(f"sweep[prop]: {name:<18} {med:6.1f}ms "
+                      f"(~{max(med - rtt_ms, 0.0):.1f} chip)",
+                      file=sys.stderr)
             except Exception as exc:
                 out[name] = f"err:{str(exc)[:120]}"
 
