@@ -65,7 +65,11 @@ def main() -> int:
     ensure_sample_data()
     from treedetection_tpu.config import get_config
     from treedetection_tpu.detection import process_files
-    config, _ = get_config(os.path.join(HERE, "config.yml"))
+    # optional config override: `python example.py my_config.yml` (e.g.
+    # config_r101.yml to serve a retrained R101 checkpoint)
+    cfg_path = (sys.argv[1] if len(sys.argv) > 1
+                else os.path.join(HERE, "config.yml"))
+    config, _ = get_config(cfg_path)
     outputs = process_files(config)
     print("Output crown layers:")
     for p in outputs:
