@@ -56,6 +56,11 @@ def main() -> int:
                         help="backbone norm; default 'batch' (real BN, folded "
                              "to frozen at save) for random init, 'frozen' "
                              "when continuing from a checkpoint")
+    parser.add_argument("--labels", default=None,
+                        help="crown label gpkg to train on (default: the "
+                             "Voronoi autolabels; pass "
+                             "data/autolabels_consensus.gpkg for the "
+                             "generator-consensus set)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO,
@@ -72,12 +77,21 @@ def main() -> int:
 
     ndsm = os.path.join(HERE, "data", "nDSM", "324125317.tif")
     rgb = os.path.join(HERE, "data", "rgb", "324125317.tif")
-    labels = os.path.join(HERE, "data", "autolabels.gpkg")
-    shards_dir = os.path.join(HERE, "data", "full_shards")
+    labels = args.labels or os.path.join(HERE, "data", "autolabels.gpkg")
+    # non-default label sets get their own shard namespace (shards bake the
+    # ground truth in; silently reusing voronoi shards would train on the
+    # wrong labels)
+    label_tag = ""
+    if args.labels:
+        label_tag = "_" + os.path.splitext(os.path.basename(args.labels))[0]
+    shards_dir = os.path.join(HERE, "data", f"full_shards{label_tag}")
 
     # 1. autolabels from the real height raster
     from treedetection_tpu.autolabel import generate_voronoi_labels
     if not os.path.exists(labels):
+        if args.labels:
+            log.error(f"label set {labels} not found")
+            return 1
         n = generate_voronoi_labels(ndsm, labels)
         log.info(f"[1/4] voronoi autolabels: {n} crowns")
     else:
@@ -111,7 +125,8 @@ def main() -> int:
         # set actually overlaps, inflating the held-out eval); the "c" marks
         # the centered-strip layout vs the old eastern-edge one
         shards_dir = os.path.join(
-            HERE, "data", f"full_shards_holdout_c{args.holdout_frac:g}")
+            HERE, "data",
+            f"full_shards{label_tag}_holdout_c{args.holdout_frac:g}")
         log.info(f"[2/4] spatial holdout: excluding {exclude_bounds[0]:.0f} "
                  f"<= x <= {exclude_bounds[2]:.0f} "
                  f"({args.holdout_frac:.0%} of the sample) from training")
