@@ -204,8 +204,13 @@ def main() -> int:
         "holdout_frac": args.holdout_frac,
         "held_out_bounds": exclude_bounds,
     }
-    report_name = ("train_full_report.json" if not args.holdout_frac
-                   else "train_holdout_report.json")
+    # non-default checkpoints get their own report file (an R101 or
+    # consensus retrain must not clobber the flagship's evidence)
+    base = os.path.splitext(os.path.basename(args.ckpt))[0]
+    tag = ("" if base == "model_full"
+           else "_" + base.replace("model_full_", ""))
+    report_name = (f"train_full_report{tag}.json" if not args.holdout_frac
+                   else f"train_holdout_report{tag}.json")
     with open(os.path.join(HERE, "data", report_name), "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report))
