@@ -409,6 +409,9 @@ def main() -> int:
         "tunnel_e2e_tiles_per_sec": round(batch / (device_time + host_time), 3),
         "p50_per_tile_ms": round(serial_total / batch * 1e3, 1),
         "serial_tiles_per_sec": round(batch / serial_total, 3),
+        # quality/speed tie: the benched depth is the quality-validated one
+        # (example/data/eval_report*.json record the same depth/checkpoint)
+        "model": f"mask_rcnn_r{cfg.depth}_fpn_{size}",
     }
 
     # Between-run band (VERDICT r4 weak 6): tunnel health sets a wide spread

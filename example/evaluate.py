@@ -50,6 +50,12 @@ def main() -> int:
                     help="restrict to the held-out region of data/holdout.json")
     ap.add_argument("--report", default=os.path.join(HERE, "data",
                                                      "eval_report.json"))
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint the scored output was served from "
+                         "(recorded in the report so quality numbers cite "
+                         "the exact model, e.g. model_full_r101.npz)")
+    ap.add_argument("--depth", type=int, default=None,
+                    help="backbone depth of that checkpoint (recorded)")
     args = ap.parse_args()
 
     outputs = args.outputs or sorted(
@@ -97,6 +103,10 @@ def main() -> int:
               "held_out": bool(region),
               "held_out_bounds": region,
               "sweep": rows, "best_f1": best["f1"], "best_point": best}
+    if args.checkpoint:
+        report["checkpoint"] = os.path.basename(args.checkpoint)
+    if args.depth:
+        report["depth"] = args.depth
     with open(args.report, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps({"best_f1": round(best["f1"], 4), "held_out": bool(region),
